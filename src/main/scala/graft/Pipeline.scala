@@ -1,0 +1,96 @@
+package graft
+
+import graft.expr.GraftFunctions
+import graft.extract.TextExtract
+import graft.model.EngineConfig
+import graft.stages._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end dedup pipeline (SURVEY §3 lifecycle, Spark-first):
+  *
+  *   pages ──extract──> docs (narrow)
+  *     ├── exact-dup pre-pass (1 shuffle on text hash)  ≙ W1/A5
+  *     └── survivors ──signatures──> minhash+simhash (narrow)
+  *           ──LSH banding──> candidate pairs (1-2 shuffles) ≙ J3
+  *           ──scoring──> edges ≥ level threshold           ≙ §2.11/P5
+  *           ──(+ winnowing substring edges)──
+  *           ──connected components──> cluster_id=min(id)   ≙ §2.9
+  *           ──re-attach exact holdouts──                   ≙ J4
+  *           ──canonical doc + lineage lookup──             ≙ W5/W6
+  */
+object Pipeline {
+
+  final case class Result(
+      assignments: DataFrame, // (id, cluster_id) for every input doc
+      edges: DataFrame,       // scored, thresholded
+      metrics: DataFrame)     // per-stage counters
+
+  /** Run over a doc table with columns (id:long, text:string, url, warc_ts,
+    * lang). Use [[fromPages]] first if starting from raw html. */
+  def run(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
+          substringPass: Boolean = true): Result = {
+    GraftFunctions.register(spark)
+    val input = docs.persist()
+
+    val (survivors, holdouts) = ExactDedup.split(input)
+    val sigs = Signatures.withSignatures(survivors, cfg)
+      .select("id", "minhash", "simhash")
+      .persist()
+
+    val candidates = Blocking.candidatePairs(sigs, cfg).persist()
+    val scored = Scoring.score(candidates, sigs, cfg).persist()
+    val simEdges = Scoring.edges(scored)
+    val allEdges =
+      (if (substringPass)
+        simEdges.unionByName(
+          Substring.edges(survivors, cfg).select("src", "dst"))
+      else simEdges).persist()
+
+    // cluster survivors; holdouts re-attach via master (J4 semantics:
+    // cluster of master, falling back to own master id,
+    // person_1/link_model_per.py:950-953)
+    val survivorAssign = ConnectedComponents.assign(
+      spark, survivors.select("id"), allEdges, cfg.maxCcIterations)
+    val holdoutAssign = holdouts
+      .join(survivorAssign.withColumnRenamed("id", "__sid"),
+        holdouts("master_id") === col("__sid"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
+    val assignments = survivorAssign.unionByName(holdoutAssign)
+
+    val metrics = stageMetrics(spark, Map(
+      "input_docs" -> input.count(),
+      "exact_holdouts" -> holdouts.count(),
+      "candidate_pairs" -> candidates.count(),
+      "edges" -> allEdges.count(),
+      "clusters" -> assignments.agg(countDistinct("cluster_id")).head().getLong(0)))
+
+    Result(assignments, scored.filter(col("level") >= 1), metrics)
+  }
+
+  /** Ingest raw pages: extract text (pinned extractor) + assign stable ids.
+    * id = xxhash64(url) — deterministic; collision-checked in tests. For
+    * corpora with numeric ids, pass docs straight to [[run]]. */
+  def fromPages(pages: DataFrame): DataFrame = {
+    val extractUdf = udf((html: Array[Byte]) => TextExtract.extract(html))
+    pages
+      .withColumn("id", xxhash64(col("url")))
+      .withColumn("text", extractUdf(col("html")))
+      .select("id", "url", "warc_ts", "text", "lang")
+  }
+
+  private def stageMetrics(spark: SparkSession, m: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    m.toSeq.toDF("metric", "value")
+  }
+
+  /** Signature config echo — persisted with snapshots so a resumed run can
+    * assert it matches (model JSON analog, person_1/link_model_per.py:745). */
+  def configJson(cfg: EngineConfig): String =
+    s"""{"shingleK":${cfg.shingleK},"numPerms":${cfg.numPerms},"bands":${cfg.bands},""" +
+      s""""rowsPerBand":${cfg.rowsPerBand},"seed":${cfg.seed},""" +
+      s""""jaccardThreshold":${cfg.jaccardThreshold},"hammingThreshold":${cfg.hammingThreshold},""" +
+      s""""winnowK":${cfg.winnowK},"winnowWindow":${cfg.winnowWindow},""" +
+      s""""substringMinFps":${cfg.substringMinFps},"extractor":"${TextExtract.version}"}"""
+}

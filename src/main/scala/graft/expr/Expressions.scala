@@ -1,0 +1,254 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions — the engine's function surface beyond
+  * `org.apache.spark.sql.functions` (SURVEY §2.4 F4-F6 + the MinHash/SimHash
+  * /winnowing kernels of §7.2). Scalar string metrics get real `doGenCode`
+  * (a static call stays inside whole-stage codegen); the array-building
+  * signature kernels use `CodegenFallback` — they dominate their own cost
+  * (hashing hundreds of shingles), so the interpreted boundary is noise.
+  *
+  * Registered into the session FunctionRegistry by [[GraftFunctions]] —
+  * usable from both the Column API (via `call_function`) and `spark.sql`.
+  */
+final case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val (pa, pb) = Hashing.permConstants(numPerms, seed)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val sh = Hashing.shingleHashes(v.asInstanceOf[UTF8String].toString, k)
+    val sig = Hashing.minhash(sh, pa, pb)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+final case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Hashing.simhash(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Band hashes of a minhash signature (array<long> → array<long> of length
+  * `bands`). The LSH blocking key generator (≙ Splink block_on keys). */
+final case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(Hashing.bandHashes(sig, bands, rowsPerBand))
+  }
+  override protected def withNewChildInternal(c: Expression): BandHashesExpr = copy(child = c)
+  override def prettyName: String = "band_hashes"
+}
+
+/** Distinct k-token shingle hashes (array<long>) — exposed for the exact
+  * Jaccard verify step and n-gram analytics. */
+final case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Hashing.shingleHashes(v.asInstanceOf[UTF8String].toString, k))
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** Exact Jaccard between two precomputed shingle-hash arrays. */
+final case class JaccardArraysExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.exactJaccard(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardArraysExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_arrays"
+}
+
+/** MinHash signature agreement fraction (Jaccard estimate). */
+final case class MinHashAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.jaccardEstimate(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashAgreeExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_agree"
+}
+
+/** Jaro–Winkler similarity with whole-stage codegen (static call). */
+final case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringMetrics.jaroWinkler(l.toString, r.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expr.StringMetrics.jaroWinkler($l.toString(), $r.toString());")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
+/** Damerau–Levenshtein (OSA) distance with whole-stage codegen. */
+final case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringMetrics.damerauLevenshtein(l.toString, r.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expr.StringMetrics.damerauLevenshtein($l.toString(), $r.toString());")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshteinExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "damerau_levenshtein"
+}
+
+/** Double Metaphone pair (array<string> of primary+alternate codes).
+  * Reference F4: `phonetics.dmetaphone`, person_1/link_model_per.py:579-592. */
+final case class DoubleMetaphoneExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val codes = DoubleMetaphone.encode(v.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(codes.map(UTF8String.fromString(_): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): DoubleMetaphoneExpr = copy(child = c)
+  override def prettyName: String = "dmetaphone"
+}
+
+/** Winnowing fingerprints (array<long>) — substring-duplicate pass. */
+final case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Hashing.winnow(v.asInstanceOf[UTF8String].toString, k, w))
+  override protected def withNewChildInternal(c: Expression): WinnowExpr = copy(child = c)
+  override def prettyName: String = "winnow_fps"
+}
+
+/** Cosine similarity between two float vectors (embedding column). */
+final case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Rolling-hash document fingerprint: a single 64-bit digest of the token
+  * stream (order-sensitive — unlike the shingle set). */
+final case class DocFingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = Hashing.tokens(v.asInstanceOf[UTF8String].toString)
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < toks.length) { h = Hashing.hash64(h, Hashing.hash64(toks(i))); i += 1 }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): DocFingerprintExpr = copy(child = c)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+/** Session registration + Column-API helpers. Idempotent. */
+object GraftFunctions {
+  import graft.model.EngineConfig
+
+  private def litInt(e: Expression): Int = e.asInstanceOf[Literal].value match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case o => o.toString.toInt
+  }
+  private def litLong(e: Expression): Long = e.asInstanceOf[Literal].value match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case o => o.toString.toLong
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSigExpr(es.head, litInt(es(1)), litInt(es(2)), litLong(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("band_hashes",
+      es => BandHashesExpr(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashesExpr(es.head, litInt(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_arrays",
+      es => JaccardArraysExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_agree",
+      es => MinHashAgreeExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      es => JaroWinklerExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshteinExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dmetaphone", es => DoubleMetaphoneExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fps",
+      es => WinnowExpr(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      es => DocFingerprintExpr(es.head), "scala_udf")
+  }
+
+  import org.apache.spark.sql.functions.lit
+  def minhashSig(text: Column, cfg: EngineConfig): Column =
+    call_function("minhash_sig", text, lit(cfg.shingleK), lit(cfg.numPerms), lit(cfg.seed))
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def bandHashes(sig: Column, cfg: EngineConfig): Column =
+    call_function("band_hashes", sig, lit(cfg.bands), lit(cfg.rowsPerBand))
+  def shingleHashes(text: Column, k: Int): Column =
+    call_function("shingle_hashes", text, lit(k))
+  def jaccardArrays(l: Column, r: Column): Column = call_function("jaccard_arrays", l, r)
+  def minhashAgree(l: Column, r: Column): Column = call_function("minhash_agree", l, r)
+  def jaroWinkler(l: Column, r: Column): Column = call_function("jaro_winkler", l, r)
+  def damerauLevenshtein(l: Column, r: Column): Column =
+    call_function("damerau_levenshtein", l, r)
+  def dmetaphone(c: Column): Column = call_function("dmetaphone", c)
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fps", text, lit(k), lit(w))
+  def cosineSim(l: Column, r: Column): Column = call_function("cosine_sim", l, r)
+  def docFingerprint(c: Column): Column = call_function("doc_fingerprint", c)
+}

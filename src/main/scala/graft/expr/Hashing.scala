@@ -1,0 +1,229 @@
+package graft.expr
+
+import graft.model.EngineConfig
+
+/** Deterministic 64-bit hashing + MinHash/SimHash kernels.
+  *
+  * These are the engine's replacement for Splink's blocking-rule keys
+  * (reference `person_1/link_model_per.py:501-507`): instead of
+  * `block_on("surname", "substr(gn1,1,1)")` we block on LSH band hashes of
+  * 128-perm MinHash signatures (SURVEY §4 "Blocking").
+  *
+  * All functions are pure, null-free, and seed-deterministic so that reruns
+  * are byte-identical (reference invariant `person_1/person.py:752-756`).
+  * JVM-side hot loops; invoked from Catalyst expressions in
+  * [[graft.expr.Expressions]].
+  */
+object Hashing {
+
+  /** Mersenne prime 2^61 - 1 for the universal-hash permutation family. */
+  val MersennePrime: Long = (1L << 61) - 1
+
+  /** splitmix64 finalizer — public-domain mixing constants (Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators"). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit string hash: FNV-1a over UTF-16 code units, splitmix-finalized.
+    * Stable across JVMs (no String.hashCode dependence beyond char values). */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Seeded variant (used for band hashes / salting). */
+  def hash64(s: String, seed: Long): Long = mix64(hash64(s) ^ mix64(seed))
+
+  /** Hash two longs into one (order-sensitive). */
+  @inline def hash64(a: Long, b: Long): Long = mix64(mix64(a) ^ (b * 0xc2b2ae3d27d4eb4fL))
+
+  /** (a*x + b) mod (2^61-1) with 128-bit intermediate via multiplyHigh.
+    * Inputs are first masked into [0, 2^61). */
+  @inline def permHash(x: Long, a: Long, b: Long): Long = {
+    val xm = x & MersennePrime
+    val hi = Math.multiplyHigh(a, xm)
+    val lo = a * xm
+    // 2^64 ≡ 8 (mod 2^61-1): fold hi into low 61 bits.
+    var r = (hi << 3) + (lo & MersennePrime) + (lo >>> 61) + b
+    if (r >= MersennePrime) r -= MersennePrime
+    if (r >= MersennePrime) r -= MersennePrime
+    r
+  }
+
+  /** Deterministic permutation constants for `numPerms` hash functions.
+    * a_i in [1, p), b_i in [0, p). */
+  def permConstants(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numPerms)
+    val b = new Array[Long](numPerms)
+    var s = mix64(seed)
+    var i = 0
+    while (i < numPerms) {
+      s = mix64(s); a(i) = (s & MersennePrime) | 1L
+      s = mix64(s); b(i) = s & MersennePrime
+      i += 1
+    }
+    (a, b)
+  }
+
+  /** Whitespace tokenizer — the pinned tokenization for shingling. */
+  def tokens(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Distinct k-token shingle hashes of a document, one pass, no shuffle
+    * (SURVEY §2.10: signature is a narrow per-document transform). */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < k) return Array.empty
+    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    while (i <= toks.length - k) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        val t = toks(i + j)
+        var c = 0
+        while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        h ^= 0x1fL; h *= 0x100000001b3L // token separator
+        j += 1
+      }
+      val hv = mix64(h)
+      if (seen.add(hv)) out += hv
+      i += 1
+    }
+    out.result()
+  }
+
+  /** 128-perm (config) MinHash signature over the shingle-hash set.
+    * Empty shingle set → null (unlinkable doc). */
+  def minhash(shingles: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (shingles.isEmpty) return null
+    val n = a.length
+    val sig = Array.fill(n)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < n) {
+        val h = permHash(x, a(i), b(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
+  def jaccardEstimate(l: Array[Long], r: Array[Long]): Double = {
+    var agree = 0; var i = 0
+    while (i < l.length) { if (l(i) == r(i)) agree += 1; i += 1 }
+    agree.toDouble / l.length
+  }
+
+  /** Exact Jaccard on shingle-hash sets (the verify step gated behind the
+    * cheap estimate — staged predicate ordering, SURVEY §4 "Threshold
+    * pushdown"). */
+  def exactJaccard(l: Array[Long], r: Array[Long]): Double = {
+    if (l.isEmpty || r.isEmpty) return 0.0
+    val set = new java.util.HashSet[java.lang.Long](l.length * 2)
+    var i = 0
+    while (i < l.length) { set.add(l(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < r.length) { if (set.contains(r(i))) inter += 1; i += 1 }
+    inter.toDouble / (l.length + r.length - inter)
+  }
+
+  /** 64-bit SimHash over token-unigram hashes (frequency-weighted). */
+  def simhash(text: String): Long = {
+    val toks = tokens(text)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash64(toks(i))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Band hashes of a signature: `bands` values, each hashing `rowsPerBand`
+    * consecutive slots plus the band index (band-scoped hash space). */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var bIdx = 0
+    while (bIdx < bands) {
+      var h = mix64(bIdx.toLong + 0x5851f42d4c957f2dL)
+      var r = 0
+      while (r < rowsPerBand) { h = hash64(h, sig(bIdx * rowsPerBand + r)); r += 1 }
+      out(bIdx) = h
+      bIdx += 1
+    }
+    out
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * k-char gram hashes, sliding window of `w`, keep the rightmost minimum
+    * per window. Robust distributed substring-duplicate detection — the
+    * engine's suffix-array-pass analog (SURVEY §7.2 module 8). */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val gram = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = i + k
+      while (j < end) { h ^= text.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+      gram(i) = mix64(h)
+      i += 1
+    }
+    if (n <= w) return Array(gram.min)
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= n) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) { if (gram(j) <= gram(minIdx)) minIdx = j; j += 1 }
+      sel.add(gram(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+
+  /** Build the whole signature bundle in one pass per document. */
+  def docSignature(text: String, cfg: EngineConfig, a: Array[Long], b: Array[Long])
+      : (Array[Long], Long, Int) = {
+    val sh = shingleHashes(text, cfg.shingleK)
+    val mh = minhash(sh, a, b)
+    (mh, simhash(text), sh.length)
+  }
+}

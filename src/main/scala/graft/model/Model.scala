@@ -1,0 +1,95 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core data model of the dedup engine.
+  *
+  * Shapes derive from BASELINE.json `input_hint` (url, warc_ts, html, text,
+  * lang) and the reference pipeline's intermediate tables — see SURVEY.md
+  * §1.2/§1.3 and reference `person_1/link_model_per.py:1288-1333` (DDLs).
+  * Implementation is Spark-first: typed Datasets over these case classes.
+  */
+
+/** One web page row — the engine's primary input table
+  * (Iceberg-style table of Common-Crawl-style pages). */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Page with the engine's stable numeric id (assigned once at ingest,
+  * = xxhash64-style hash of url unless provided). cluster_id = min(id)
+  * invariant (SURVEY §1.4.3) requires a total order on ids. */
+final case class DocRow(
+    id: Long,
+    url: String,
+    warc_ts: Timestamp,
+    text: String,
+    lang: String)
+
+/** Per-document signature: 128-perm MinHash + 64-bit SimHash.
+  * nShingles==0 marks unlinkable docs (too short — reference analog:
+  * unlinkable records, person_1/link_model_per.py:754-762). */
+final case class DocSig(
+    id: Long,
+    minhash: Array[Long],
+    simhash: Long,
+    nShingles: Int)
+
+/** Candidate pair produced by LSH blocking (J3 analog). Canonical form
+  * idL < idR; matchKey = first band index that produced the pair
+  * (provenance, ≙ Splink match_key, person_1/link_model_per.py:489). */
+final case class CandidatePair(idL: Long, idR: Long, matchKey: Int)
+
+/** Scored pair (edge) — similarity analog of Splink match_weight. */
+final case class ScoredPair(
+    idL: Long,
+    idR: Long,
+    jaccardEst: Double,
+    hammingDist: Int,
+    level: Int,
+    reason: String)
+
+final case class Edge(src: Long, dst: Long)
+
+final case class ClusterAssignment(id: Long, clusterId: Long)
+
+/** Engine configuration — the analog of the reference's Splink model JSON
+  * (person_1/link_model_per.py:745-752): everything that must be pinned for
+  * determinism and for oracle parity lives here.
+  *
+  * Default banding: 128 perms = 16 bands x 8 rows; candidate threshold
+  * s ≈ (1/b)^(1/r) = 0.707 (SURVEY §4 "Blocking").
+  */
+final case class EngineConfig(
+    shingleK: Int = 3,            // tokens per shingle
+    numPerms: Int = 128,
+    bands: Int = 16,
+    rowsPerBand: Int = 8,
+    simhashBits: Int = 64,
+    seed: Long = 42L,
+    // ordered-level thresholds (≙ gamma levels, SURVEY §2.11): first
+    // match wins. exact-hash > jaccard > simhash-hamming > substring.
+    jaccardThreshold: Double = 0.7,
+    hammingThreshold: Int = 3,
+    // substring (winnowing) pass
+    winnowK: Int = 25,            // chars per fingerprint gram
+    winnowWindow: Int = 16,
+    substringMinFps: Int = 8,     // shared fingerprints to emit an edge
+    substringMinRatio: Double = 0.5, // shared / min(nFps) containment ratio
+    // a fingerprint shared by more docs than this is boilerplate, not
+    // containment evidence (document-frequency pruning ≙ TF adjustment A1)
+    substringDfCap: Int = 50,
+    // LSH buckets up to this size are paired all-pairs (exact J3
+    // semantics); larger ones get O(n) sorted-chain pairing (skew control,
+    // SURVEY §4 "Skew detection") — nothing is dropped
+    allPairsCap: Int = 64,
+    maxCcIterations: Int = 50) {
+  require(bands * rowsPerBand == numPerms, "bands*rowsPerBand must equal numPerms")
+}
+
+object EngineConfig {
+  val default: EngineConfig = EngineConfig()
+}

@@ -1,0 +1,104 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components — the engine's replacement for Splink's
+  * `cluster_pairwise_predictions_at_threshold`
+  * (`person_1/link_model_per.py:830-837`; SURVEY §2.9).
+  *
+  * Alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) on a Dataset of edges:
+  * O(log n) rounds, each round = groupBy(min) + join, no vertex state
+  * collected to the driver. `localCheckpoint` between rounds cuts the
+  * lineage blow-up (the known failure mode at scale, SURVEY §7.5.1).
+  *
+  * Output invariant (SURVEY §1.4.3): cluster_id = MIN member id — relied on
+  * by everything downstream in the reference (`WHERE id = cluster_id`
+  * selects masters, `person_1/link_model_per.py:1447`).
+  */
+object ConnectedComponents {
+
+  /** @param edges columns src:long, dst:long (undirected, any orientation)
+    * @return (id, cluster_id) for every id appearing in `edges`. Callers
+    *         union singletons (ids without edges) with cluster_id = id. */
+  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    import spark.implicits._
+
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least($"src", $"dst").as("dst"), greatest($"src", $"dst").as("src"))
+      .select("src", "dst") // src > dst, canonical
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, Long, Long) = (-1L, -1L, -1L)
+
+    val debugTiming = sys.env.contains("GRAFT_CC_DEBUG")
+    val matT0 = System.nanoTime()
+    e.count() // materialize input once so iterations read only the cache
+    if (debugTiming)
+      println(f"[cc] input materialize: ${(System.nanoTime() - matT0) / 1e9}%.2f s")
+    while (!converged && iter < maxIterations) {
+      val iterT0 = System.nanoTime()
+      // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every
+      // strictly-larger neighbour to m.
+      val bi = e.select($"src", $"dst")
+        .unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = bi.groupBy("src").agg(min($"dst").as("mn"))
+        .select($"src", least($"src", $"mn").as("m"))
+      val large = bi.join(mins, "src")
+        .filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .distinct()
+
+      // small-star: edges point large→small after large-star; for each u,
+      // m = min of its smaller neighbourhood ∪ itself; connect the rest to m.
+      val sMins = large.groupBy("src").agg(min($"dst").as("m"))
+      val joined = large.join(sMins, "src")
+      val small = joined.filter($"dst" =!= $"m")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .unionAll(sMins.select($"src", $"m".as("dst")))
+        .filter($"src" =!= $"dst")
+        .distinct()
+        .localCheckpoint(true)
+
+      // convergence signature: summands bounded by 2^32 so the ANSI-mode
+      // sum cannot overflow below ~2^31 edges per partition-set
+      val sig = small.agg(
+        count(lit(1)),
+        coalesce(sum(shiftrightunsigned(xxhash64($"src", $"dst"), 32)), lit(0L)),
+        coalesce(sum($"dst".bitwiseAND(lit(0xffffffffL))), lit(0L)))
+        .as[(Long, Long, Long)].head()
+      converged = sig == prevSig
+      prevSig = sig
+      e.unpersist()
+      e = small.persist(StorageLevel.MEMORY_AND_DISK)
+      iter += 1
+      if (debugTiming)
+        println(f"[cc] iter $iter: ${(System.nanoTime() - iterT0) / 1e9}%.2f s, sig=$sig")
+    }
+
+    // star graph: every src points at its component's min id; roots appear
+    // only as dst. Emit both directions of the assignment.
+    val assignments = e.select($"src".as("id"), $"dst".as("cluster_id"))
+      .unionByName(e.select($"dst".as("id"), $"dst".as("cluster_id")))
+      .groupBy("id").agg(min($"cluster_id").as("cluster_id"))
+    assignments
+  }
+
+  /** Full assignment over a doc table: edge members get their component's
+    * min id, everyone else (singletons + unlinkables) keeps their own id —
+    * Splink semantics: "output one row per input record"
+    * (person_1/link_model_per.py:830-837). */
+  def assign(spark: SparkSession, docIds: DataFrame, edges: DataFrame,
+             maxIterations: Int = 50): DataFrame = {
+    val cc = run(spark, edges, maxIterations)
+    docIds.select(col("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Canonical-document ("golden record") selection + id namespacing
+  * (SURVEY §7.2 module 10).
+  *
+  * Reference semantics being re-expressed:
+  * - master re-selection by completeness then id
+  *   (`person_1/dedup_per.sql:102-121`, W5): ORDER BY non_null_count DESC,
+  *   TRY_CAST(id) ASC NULLS LAST, id ASC;
+  * - per-column recency fill (`person_1/dedup_per.sql:226-301`, W4):
+  *   first non-null by last_updated DESC;
+  * - dense new ids from a namespace base (`person_1/dedup_per.sql:365-371`,
+  *   `person_2/fv_all_person_lookup.sql:32-109`, W6).
+  */
+object Golden {
+
+  /** Pick one canonical doc per cluster: longest text (completeness analog),
+    * then earliest warc_ts (most-authoritative crawl), then min id —
+    * a total order, so deterministic (reference invariant §1.4.4). */
+  def canonicalDocs(clustered: DataFrame,
+                    idCol: String = "id",
+                    tsCol: String = "warc_ts",
+                    textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(length(col(textCol)).desc, col(tsCol).asc, col(idCol).asc)
+    clustered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-cluster, per-column most-recent non-null fill (W4/A7 analog):
+    * one pass with max_by over (value, recency) — not one window per column. */
+  def goldenFill(clustered: DataFrame, orderCol: String, fillCols: Seq[String]): DataFrame = {
+    val aggs = fillCols.map { c =>
+      // max_by ignores rows where the value is null: first non-null by recency
+      max_by(col(c), when(col(c).isNotNull, col(orderCol))).as(c)
+    }
+    clustered.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Dense ids from a namespace base — scalable form of
+    * `DENSE_RANK() OVER (ORDER BY …) + base` (W6). A single-partition
+    * global window is the reference shape but a scale hazard (SURVEY
+    * §7.5.5); this version range-partitions, computes per-partition counts
+    * (small collect), then offsets within partitions: distributed, same
+    * total order, same result. */
+  def denseIds(spark: SparkSession, masters: DataFrame, keyCol: String, base: Long,
+               partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = masters.select(col(keyCol)).distinct()
+      .repartitionByRange(n, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+    val withPid = sorted.withColumn("__pid", spark_partition_id())
+    val counts = withPid.groupBy("__pid").count().as[(Int, Long)].collect().toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetsB = spark.sparkContext.broadcast(offsets.toArray)
+    val rankW = Window.partitionBy("__pid").orderBy(col(keyCol))
+    val offsetUdf = udf((pid: Int) => offsetsB.value(pid))
+    withPid
+      .withColumn("__local", row_number().over(rankW).cast("long"))
+      .withColumn("new_id", lit(base) + offsetUdf(col("__pid")) + col("__local"))
+      .select(col(keyCol), col("new_id"))
+  }
+
+  /** Lineage lookup old_id → (cluster_id, new_id, is_master) — the engine's
+    * `DO_NOT_MIGRATE_*_lookup` analog (`person_1/person.py:281`). */
+  def lookupTable(assignments: DataFrame, newIds: DataFrame): DataFrame =
+    assignments
+      .join(newIds.withColumnRenamed("cluster_id", "cid"),
+        assignments("cluster_id") === col("cid"), "left")
+      .drop("cid")
+      .withColumn("is_master", col("id") === col("cluster_id"))
+}

@@ -1,0 +1,204 @@
+package graft.stages
+
+import graft.expr.GraftFunctions
+import graft.model.EngineConfig
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-duplicate pre-pass (SURVEY §1.4.1, §7.2 module 4).
+  *
+  * Reference: rows identical on the match columns are removed before linking
+  * (keep rn=1, `person_1/link_model_per.py:142-149,186-188`) and carry
+  * `master_id = MIN(id) OVER (PARTITION BY …)` (`:248-255`); they re-attach
+  * to their master's cluster afterwards (`:933-1021`).
+  *
+  * Web analog: identical `text` → one survivor per text; holdouts keep the
+  * survivor's id as `master_id`. Partition key is `(xxhash64(text), text)` —
+  * hash first so the shuffle key is cheap and uniformly distributed, full
+  * text second so equality is exact (no reliance on hash collision-freedom
+  * at 10^12 docs).
+  */
+object ExactDedup {
+
+  /** @return (survivors, holdouts) — survivors keep all input columns;
+    *         holdouts are (id, master_id). */
+  def split(docs: DataFrame, idCol: String = "id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+    val ranked = docs
+      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
+      .withColumn("__master", min(col(idCol)).over(w))
+    val survivors = ranked.filter(col("__rn") === 1).drop("__rn", "__master")
+    val holdouts = ranked.filter(col("__rn") > 1)
+      .select(col(idCol), col("__master").as("master_id"))
+    (survivors, holdouts)
+  }
+}
+
+/** Signature stage (SURVEY §7.2 module 5): Dataset[doc] → doc + minhash +
+  * simhash + nShingles. Narrow — no shuffle; signatures computed in one
+  * pass per document via the custom Catalyst expressions. */
+object Signatures {
+  def withSignatures(docs: DataFrame, cfg: EngineConfig, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("minhash", GraftFunctions.minhashSig(col(textCol), cfg))
+      .withColumn("simhash", GraftFunctions.simhash64(col(textCol)))
+      .withColumn("n_shingles",
+        when(col("minhash").isNull, lit(0)).otherwise(lit(cfg.numPerms)))
+}
+
+/** Skew-aware candidate-pair generation from (key, id) bucket rows.
+  *
+  * Shared by LSH blocking and the winnowing substring pass. This is the
+  * engine's answer to the reference's skew problem ("michael b" block =
+  * 793,881 comparisons, `person_1/link_model_per.py:526-529`) — required
+  * explicitly by the north_rule ("hot LSH buckets").
+  *
+  * - buckets with ≤ allPairsCap members → all pairs (exactly Splink's
+  *   blocking self-join J3 semantics);
+  * - hot buckets → O(n) chain pairing: members sorted by (sortKey, id) and
+  *   linked consecutively. Connectivity within the bucket is preserved
+  *   (clustering is over the transitive closure), nothing is silently
+  *   dropped; near-identical docs sort adjacently when sortKey = simhash.
+  *
+  * One shuffle: the window count and the subsequent groupBy/lead reuse the
+  * same hash partitioning on `key` (Catalyst recognises the co-partitioning,
+  * verified via explain in the spec).
+  */
+object PairGen {
+  val AllPairsCap = 64
+
+  /** @param buckets columns: key:long, id:long, sort:long
+    * @param dropHotAbove if set, buckets larger than this are excluded
+    *        entirely (document-frequency pruning — used by the substring
+    *        pass where a high-df fingerprint is boilerplate, not evidence;
+    *        the LSH path never drops)
+    * @return pairs (id_l, id_r, key) with id_l < id_r, deduplicated. */
+  def pairs(buckets: DataFrame, allPairsCap: Int = AllPairsCap,
+            dropHotAbove: Option[Int] = None): DataFrame = {
+    val w = Window.partitionBy("key")
+    val counted = buckets.withColumn("__cnt", count(lit(1)).over(w))
+    val withCnt = dropHotAbove match {
+      case Some(cap) => counted.filter(col("__cnt") <= cap)
+      case None => counted
+    }
+
+    val small = withCnt.filter(col("__cnt") <= allPairsCap)
+      .groupBy("key").agg(sort_array(collect_list(col("id"))).as("ids"))
+    // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each
+    // element, pair it with every later element.
+    val smallPairs = small
+      .select(col("key"), explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
+
+    val chainW = Window.partitionBy("key").orderBy(col("sort"), col("id"))
+    val chainPairs = withCnt.filter(col("__cnt") > allPairsCap)
+      .withColumn("__nxt", lead(col("id"), 1).over(chainW))
+      .filter(col("__nxt").isNotNull)
+      .select(
+        least(col("id"), col("__nxt")).as("id_l"),
+        greatest(col("id"), col("__nxt")).as("id_r"),
+        col("key"))
+
+    smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
+  }
+
+  /** Bucket-size skew report (≙ Splink n_largest_blocks,
+    * `person_1/link_model_per.py:531-538`). */
+  def largestBuckets(buckets: DataFrame, n: Int): DataFrame =
+    buckets.groupBy("key").count().orderBy(desc("count"), col("key")).limit(n)
+}
+
+/** LSH blocking (SURVEY §7.2 module 6) — replaces Splink's blocking rules
+  * (J3, `person_1/link_model_per.py:501-507`): explode band hashes, pair
+  * within buckets, dedup pairs across bands keeping the lowest band index
+  * as provenance (≙ Splink match_key, `person_1/link_model_per.py:489`).
+  *
+  * The bucket key packs the band index into the top 8 bits of the 64-bit
+  * band hash (band hashes are already band-scoped, so 56 bits of hash per
+  * band is plenty) — provenance is recovered with a shift, no extra join.
+  */
+object Blocking {
+
+  /** @param sigs columns: id, minhash, simhash (from [[Signatures]])
+    * @return candidate pairs (id_l, id_r, match_key). */
+  def candidatePairs(sigs: DataFrame, cfg: EngineConfig): DataFrame = {
+    val buckets = sigs
+      .filter(col("minhash").isNotNull)
+      .select(
+        col("id"),
+        col("simhash").as("sort"),
+        posexplode(GraftFunctions.bandHashes(col("minhash"), cfg)).as(Seq("band_idx", "band_hash")))
+      .select(
+        (shiftleft(col("band_idx").cast("long"), 56)
+          .bitwiseOR(shiftrightunsigned(col("band_hash"), 8))).as("key"),
+        col("id"), col("sort"))
+
+    PairGen.pairs(buckets, cfg.allPairsCap)
+      .groupBy("id_l", "id_r")
+      .agg(min(shiftrightunsigned(col("key"), 56)).cast("int").as("match_key"))
+  }
+}
+
+/** Pair scoring (SURVEY §7.2 module 7): per-pair similarity features +
+  * ordered-level decision, the analog of Splink's gamma levels + match
+  * weight (§2.11 "ordered levels, first match wins"). */
+object Scoring {
+
+  /** @param pairs (id_l, id_r, match_key); sigs (id, minhash, simhash).
+    * @return scored edges with level ≥ 1 semantics left to the caller. */
+  def score(pairs: DataFrame, sigs: DataFrame, cfg: EngineConfig): DataFrame = {
+    val l = sigs.select(
+      col("id").as("id_l"), col("minhash").as("mh_l"), col("simhash").as("sh_l"))
+    val r = sigs.select(
+      col("id").as("id_r"), col("minhash").as("mh_r"), col("simhash").as("sh_r"))
+    pairs.join(l, "id_l").join(r, "id_r")
+      .withColumn("jaccard_est", GraftFunctions.minhashAgree(col("mh_l"), col("mh_r")))
+      .withColumn("hamming", bit_count(col("sh_l").bitwiseXOR(col("sh_r"))))
+      .withColumn("level",
+        when(col("jaccard_est") >= cfg.jaccardThreshold, 2)
+          .when(col("hamming") <= cfg.hammingThreshold, 1)
+          .otherwise(0))
+      .withColumn("reason",
+        when(col("level") === 2, concat(lit("minhash-band="), col("match_key")))
+          .when(col("level") === 1, lit("simhash-hamming"))
+          .otherwise(lit("below-threshold")))
+      .select("id_l", "id_r", "match_key", "jaccard_est", "hamming", "level", "reason")
+  }
+
+  /** Threshold filter (≙ P5 `match_probability >= 0.95` then
+    * `match_weight > 22`, person_1/link_model_per.py:791,812-814). */
+  def edges(scored: DataFrame): DataFrame =
+    scored.filter(col("level") >= 1).select(col("id_l").as("src"), col("id_r").as("dst"))
+}
+
+/** Substring-duplicate pass (SURVEY §7.2 module 8): winnowing fingerprints
+  * (Schleimer et al., SIGMOD'03) instead of a literal global suffix array —
+  * robust and distributed. Documents sharing ≥ substringMinFps selected
+  * fingerprints are containment candidates; emitted as extra edges with
+  * reason "substring". */
+object Substring {
+
+  def edges(docs: DataFrame, cfg: EngineConfig,
+            idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val fps = docs.select(
+        col(idCol).as("id"),
+        explode(GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow)).as("key"))
+      .distinct()
+      .withColumn("sort", col("id"))
+    // per-doc fingerprint counts, for the containment-ratio test
+    val nFps = fps.groupBy("id").agg(count(lit(1)).as("n_fps"))
+    val shared = PairGen.pairs(fps, cfg.allPairsCap, dropHotAbove = Some(cfg.substringDfCap))
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= cfg.substringMinFps)
+    shared
+      .join(nFps.select(col("id").as("id_l"), col("n_fps").as("n_l")), "id_l")
+      .join(nFps.select(col("id").as("id_r"), col("n_fps").as("n_r")), "id_r")
+      .filter(col("shared_fps") >= lit(cfg.substringMinRatio) * least(col("n_l"), col("n_r")))
+      .select(col("id_l").as("src"), col("id_r").as("dst"), col("shared_fps"))
+  }
+}
