@@ -69,6 +69,28 @@ object Pipeline {
     Result(assignments, scored.filter(col("level") >= 1), metrics)
   }
 
+  /** Pipeline without the metrics actions — returns lazy assignments only
+    * (used by the driver-facing queries where the caller counts). */
+  def runLite(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
+              substringPass: Boolean = true): DataFrame = {
+    GraftFunctions.register(spark)
+    val (survivors, holdouts) = ExactDedup.split(docs)
+    val sigs = Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash")
+    val candidates = Blocking.candidatePairs(sigs, cfg)
+    val simEdges = Scoring.edges(Scoring.score(candidates, sigs, cfg))
+    val allEdges =
+      if (substringPass)
+        simEdges.unionByName(Substring.edges(survivors, cfg).select("src", "dst"))
+      else simEdges
+    val survivorAssign = ConnectedComponents.assign(
+      spark, survivors.select("id"), allEdges, cfg.maxCcIterations)
+    val holdoutAssign = holdouts
+      .join(survivorAssign.withColumnRenamed("id", "__sid"),
+        holdouts("master_id") === col("__sid"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
+    survivorAssign.unionByName(holdoutAssign)
+  }
+
   /** Ingest raw pages: extract text (pinned extractor) + assign stable ids.
     * id = xxhash64(url) — deterministic; collision-checked in tests. For
     * corpora with numeric ids, pass docs straight to [[run]]. */

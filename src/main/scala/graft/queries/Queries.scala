@@ -1,0 +1,476 @@
+package graft.queries
+
+import graft.expr.GraftFunctions
+import graft.model.EngineConfig
+import graft.stages.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing operator surface: one entry per implemented operator
+  * from SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal plumbing). Each query reads
+  * the sf-dir parquet tables; where ANSI-SQL-expressible, [[oracleSql]]
+  * carries the DuckDB equivalent (identical column names + ORDER BY so the
+  * driver's hash compare is stable).
+  *
+  * Float discipline: oracle-checked queries emit only integers, strings,
+  * timestamps, booleans, or floats that are bit-reproducible across engines
+  * (min/max/exact values, sums of integral doubles, same-operand division).
+  */
+object Queries {
+
+  private val cfg = EngineConfig.default
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 term-frequency aggregation (≙ Splink TF tables)
+    "q01_agg_tf" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J1 dimension fan-in with broadcast joins
+    "q02_join_dims" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // W2/J2 window-dedup: latest order per customer
+    "q03_window_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_custkey")
+    }),
+
+    // P6 semi/anti membership split
+    "q04_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      val withO = c.join(o, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(1).as("has_orders"))
+      val withoutO = c.join(o, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(0).as("has_orders"))
+      withO.unionByName(withoutO).orderBy("c_custkey")
+    }),
+
+    // W1/A5 exact-duplicate pre-pass (master = min id per identical text)
+    "q05_exact_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("text")
+      t(s, dir, "documents")
+        .withColumn("master_id", min("doc_id").over(w))
+        .withColumn("is_dup", (col("doc_id") =!= col("master_id")).cast("int"))
+        .select("doc_id", "master_id", "is_dup")
+        .orderBy("doc_id")
+    }),
+
+    // W5 master selection by completeness-analog ordering
+    "q06_master_selection" -> ((s, dir) => {
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source"), col("doc_id").as("master_doc_id"))
+        .orderBy("lang", "source")
+    }),
+
+    // A7/W4 golden-record aggregates per cluster-analog key
+    "q07_golden_fill" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max("o_totalprice").as("max_price"),
+          min("o_orderdate").as("first_order"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // W6 dense new-id namespacing
+    "q08_dense_ids" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .withColumn("new_id",
+          dense_rank().over(Window.orderBy("s_name")) + lit(1000000L))
+        .select(col("s_suppkey"), col("new_id"))
+        .orderBy("s_suppkey")
+    }),
+
+    // O3/A9 top-k skew report (≙ n_largest_blocks)
+    "q09_topk_skew" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+        .limit(5)
+    }),
+
+    // F14/P7 date predicates (year-boundary semantics)
+    "q10_date_rules" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          (year(col("o_orderdate")) < 1995).cast("int").as("is_old"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J8 correlated TOP-1 decorrelated to window + filter
+    "q11_correlated_top1" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_suppkey")
+    }),
+
+    // U3/W6 id-range namespaced union (≙ fv_all_person_lookup)
+    "q12_union_namespace" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(lit("customer").as("entity_type"), (col("c_custkey") + 1000000L).as("new_id"))
+      val sup = t(s, dir, "supplier")
+        .select(lit("supplier").as("entity_type"), (col("s_suppkey") + 2000000L).as("new_id"))
+      c.unionByName(sup).orderBy("entity_type", "new_id")
+    }),
+
+    // P2/F13 code-to-NULL normalisation + coalesce chain
+    "q13_null_normalize" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          coalesce(nullif(col("p_brand"), lit("Brand#45")), lit("UNKNOWN")).as("brand_norm"))
+        .orderBy("p_partkey")
+    }),
+
+    // F9 NULL-aware exact-match gamma on candidate pairs (≙ §2.11 levels)
+    "q14_gamma_exact" -> ((s, dir) => {
+      val pairs = trigramPairs(s, dir)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      pairs
+        .join(d.select(col("doc_id").as("doc_id_l"), col("lang").as("lang_l")), "doc_id_l")
+        .join(d.select(col("doc_id").as("doc_id_r"), col("lang").as("lang_r")), "doc_id_r")
+        .select(col("doc_id_l"), col("doc_id_r"),
+          when(col("lang_l").isNull || col("lang_r").isNull, -1)
+            .when(col("lang_l") === col("lang_r"), 1).otherwise(0).as("gamma_lang"))
+        .orderBy("doc_id_l", "doc_id_r")
+    }),
+
+    // F6 edit distances (Levenshtein built-in; Damerau-Levenshtein custom)
+    "q15_editdist" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val n = t(s, dir, "nation").select(col("n_name"))
+      val l = n.select(col("n_name").as("name_l"))
+      val r = n.select(col("n_name").as("name_r"))
+      l.crossJoin(r).filter(col("name_l") < col("name_r"))
+        .select(col("name_l"), col("name_r"),
+          levenshtein(col("name_l"), col("name_r")).as("lev"),
+          GraftFunctions.damerauLevenshtein(col("name_l"), col("name_r")).as("dl"))
+        .orderBy("name_l", "name_r")
+    }),
+
+    // streaming-analog tumbling-window aggregation (batch form)
+    "q16_event_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("hour_ts", "event_type")
+    }),
+
+    // text analysis: token counting
+    "q17_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), " ")).as("n_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: quality scoring (integer-exact heuristics)
+    "q18_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+        .withColumn("avg_tok_len_x10",
+          floor(col("n_chars") * 10 / col("n_tokens")).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_tok_len_x10"),
+          (col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+            col("avg_tok_len_x10") >= 30 && col("avg_tok_len_x10") <= 120).cast("int").as("is_good"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: n-gram-frequency language heuristic (SQL-checkable form)
+    "q19_langid" -> ((s, dir) => {
+      def cnt(c: String) = length(col("text")) - length(regexp_replace(col("text"), c, ""))
+      t(s, dir, "documents")
+        .withColumn("cnt_e", cnt("e"))
+        .withColumn("cnt_z", cnt("z"))
+        .withColumn("cnt_j", cnt("j"))
+        .select(col("doc_id"), col("cnt_e"), col("cnt_z"), col("cnt_j"),
+          when(col("cnt_z") * 12 > col("cnt_e"), lit("z-heavy"))
+            .when(col("cnt_j") * 12 > col("cnt_e"), lit("j-heavy"))
+            .otherwise(lit("e-heavy")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact, integer-arith threshold)
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      trigramPairsFull(s, dir).orderBy("doc_id_l", "doc_id_r")
+    }),
+
+    // full flagship: exact-trigram edges → distributed connected components,
+    // oracle = DuckDB recursive-CTE transitive closure (independent check of
+    // the large-star/small-star implementation)
+    "q21_cc_clusters" -> ((s, dir) => {
+      val edges = trigramPairsFull(s, dir)
+        .select(col("doc_id_l").as("src"), col("doc_id_r").as("dst"))
+      val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
+      ConnectedComponents.assign(s, ids, edges)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH candidate dedup pairs (engine-native; no SQL oracle)
+    "q22_minhash_lsh" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val sigs = graft.stages.Signatures.withSignatures(docs, cfg)
+        .select("id", "minhash", "simhash")
+      val cand = graft.stages.Blocking.candidatePairs(sigs, cfg)
+      graft.stages.Scoring.score(cand, sigs, cfg)
+        .filter(col("level") >= 1)
+        .select(col("id_l").as("doc_id_l"), col("id_r").as("doc_id_r"),
+          col("jaccard_est"), col("hamming"), col("level"))
+        .orderBy("doc_id_l", "doc_id_r")
+    }),
+
+    // SimHash fingerprints + doc fingerprint (engine-native; no SQL oracle)
+    "q23_fingerprints" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.simhash64(col("text")).as("simhash"),
+          GraftFunctions.docFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // full dedup pipeline over documents (engine-native; no SQL oracle)
+    "q24_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      graft.Pipeline.runLite(s, docs, cfg)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // similarity search: brute-force cosine top-1 neighbour
+    "q25_cosine_top1" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id"), col("embedding"))
+      val b = e.select(col("vec_id").as("nid"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_id") =!= col("nid"))
+        .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
+        .groupBy("vec_id")
+        .agg(max_by(col("nid"), col("cos")).as("nn_id"))
+        .orderBy("vec_id")
+    }),
+
+    // similarity search: LSH-bucketed ANN (scale path; no SQL oracle)
+    "q26_knn_lsh" -> ((s, dir) => {
+      graft.sim.Knn.lshTop1(s, t(s, dir, "embeddings"), cfg)
+        .orderBy("vec_id")
+    }),
+
+    // multimodal plumbing: binary payload metadata
+    "q27_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // A8 distinct-count statistics
+    "q28_cluster_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("text").as("n_distinct_texts"),
+          countDistinct("lang").as("n_langs"))
+    })
+  )
+
+  /** Exact token-trigram candidate pairs at Jaccard ≥ 0.8 (integer-exact
+    * filter: 5*inter >= 4*union). Shared by q14/q20/q21. */
+  private def trigramPairsFull(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+        .as("g"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val l = grams.select(col("doc_id").as("doc_id_l"), col("g"))
+    val r = grams.select(col("doc_id").as("doc_id_r"), col("g"))
+    l.join(r, Seq("g")).filter(col("doc_id_l") < col("doc_id_r"))
+      .groupBy("doc_id_l", "doc_id_r").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_id_l"), col("n").as("size_l")), "doc_id_l")
+      .join(sizes.select(col("doc_id").as("doc_id_r"), col("n").as("size_r")), "doc_id_r")
+      .filter(col("inter") * 5 >= (col("size_l") + col("size_r") - col("inter")) * 4)
+      .select("doc_id_l", "doc_id_r", "inter", "size_l", "size_r")
+  }
+
+  private def trigramPairs(s: SparkSession, dir: String): DataFrame =
+    trigramPairsFull(s, dir).select("doc_id_l", "doc_id_r")
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared DuckDB CTE prefix for the trigram-pair queries. */
+  private val TrigramCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |          FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |ipairs AS (SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r, count(*) AS inter
+      |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jpairs AS (SELECT p.doc_id_l, p.doc_id_r, p.inter, sa.n AS size_l, sb.n AS size_r
+      |           FROM ipairs p JOIN sizes sa ON sa.doc_id = p.doc_id_l
+      |                         JOIN sizes sb ON sb.doc_id = p.doc_id_r
+      |           WHERE p.inter * 5 >= 4 * (sa.n + sb.n - p.inter))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_tf" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_dims" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey""".stripMargin,
+    "q03_window_dedup" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q04_semi_anti" ->
+      """SELECT c_custkey, 1 AS has_orders FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 0 AS has_orders FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_exact_dedup" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS master_id,
+        |CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS INT) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q06_master_selection" ->
+      """SELECT lang, source, doc_id AS master_doc_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM documents)
+        |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+    "q07_golden_fill" ->
+      """SELECT o_custkey, max(o_totalprice) AS max_price,
+        |min(o_orderdate) AS first_order, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q08_dense_ids" ->
+      """SELECT s_suppkey, dense_rank() OVER (ORDER BY s_name) + 1000000 AS new_id
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q09_topk_skew" ->
+      """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, event_type LIMIT 5""".stripMargin,
+    "q10_date_rules" ->
+      """SELECT o_orderkey, year(o_orderdate) AS order_year,
+        |month(o_orderdate) AS order_month,
+        |CAST(year(o_orderdate) < 1995 AS INT) AS is_old
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q11_correlated_top1" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+    "q12_union_namespace" ->
+      """SELECT 'customer' AS entity_type, c_custkey + 1000000 AS new_id FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS entity_type, s_suppkey + 2000000 AS new_id FROM supplier
+        |ORDER BY entity_type, new_id""".stripMargin,
+    "q13_null_normalize" ->
+      """SELECT p_partkey, coalesce(nullif(p_brand, 'Brand#45'), 'UNKNOWN') AS brand_norm
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_gamma_exact" ->
+      s"""WITH $TrigramCte
+         |SELECT p.doc_id_l, p.doc_id_r,
+         |CASE WHEN dl.lang IS NULL OR dr.lang IS NULL THEN -1
+         |     WHEN dl.lang = dr.lang THEN 1 ELSE 0 END AS gamma_lang
+         |FROM jpairs p JOIN documents dl ON dl.doc_id = p.doc_id_l
+         |              JOIN documents dr ON dr.doc_id = p.doc_id_r
+         |ORDER BY p.doc_id_l, p.doc_id_r""".stripMargin,
+    "q15_editdist" ->
+      """SELECT a.n_name AS name_l, b.n_name AS name_r,
+        |levenshtein(a.n_name, b.n_name) AS lev,
+        |damerau_levenshtein(a.n_name, b.n_name) AS dl
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |ORDER BY name_l, name_r""".stripMargin,
+    "q16_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
+        |min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "q17_token_stats" ->
+      """SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens,
+        |length(text) AS n_chars_calc FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_quality_score" ->
+      """SELECT doc_id, n_tokens, avg_tok_len_x10,
+        |CAST(n_tokens >= 20 AND n_tokens <= 1000
+        |  AND avg_tok_len_x10 >= 30 AND avg_tok_len_x10 <= 120 AS INT) AS is_good
+        |FROM (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens,
+        |  CAST(floor(n_chars * 10 / len(string_split(trim(text), ' '))) AS BIGINT) AS avg_tok_len_x10
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q19_langid" ->
+      """SELECT doc_id, cnt_e, cnt_z, cnt_j,
+        |CASE WHEN cnt_z * 12 > cnt_e THEN 'z-heavy'
+        |     WHEN cnt_j * 12 > cnt_e THEN 'j-heavy'
+        |     ELSE 'e-heavy' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  length(text) - length(replace(text, 'e', '')) AS cnt_e,
+        |  length(text) - length(replace(text, 'z', '')) AS cnt_z,
+        |  length(text) - length(replace(text, 'j', '')) AS cnt_j
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q20_ngram_jaccard" ->
+      s"""WITH $TrigramCte
+         |SELECT doc_id_l, doc_id_r, inter, size_l, size_r FROM jpairs
+         |ORDER BY doc_id_l, doc_id_r""".stripMargin,
+    "q21_cc_clusters" ->
+      s"""WITH RECURSIVE $TrigramCte,
+         |bidir AS (SELECT doc_id_l AS l, doc_id_r AS r FROM jpairs
+         |          UNION SELECT doc_id_r, doc_id_l FROM jpairs),
+         |reach AS (SELECT l AS a, r AS b FROM bidir
+         |          UNION SELECT reach.a, bidir.r FROM reach JOIN bidir ON reach.b = bidir.l),
+         |clus AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+    "q25_cosine_top1" ->
+      """SELECT vec_id, arg_max(nid, cos) AS nn_id FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+        |         list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q27_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_cluster_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
+        |count(DISTINCT lang) AS n_langs FROM documents""".stripMargin
+  )
+}
