@@ -76,8 +76,8 @@ final case class EngineConfig(
     hammingThreshold: Int = 3,
     // substring (winnowing) pass
     winnowK: Int = 25,            // chars per fingerprint gram
-    winnowWindow: Int = 16,
-    substringMinFps: Int = 8,     // shared fingerprints to emit an edge
+    winnowWindow: Int = 32,       // fp density ≈ 2/(w+1) per char
+    substringMinFps: Int = 6,     // shared fingerprints to emit an edge
     substringMinRatio: Double = 0.5, // shared / min(nFps) containment ratio
     // a fingerprint shared by more docs than this is boilerplate, not
     // containment evidence (document-frequency pruning ≙ TF adjustment A1)

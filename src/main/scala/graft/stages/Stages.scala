@@ -74,21 +74,32 @@ object PairGen {
     *        entirely (document-frequency pruning — used by the substring
     *        pass where a high-df fingerprint is boilerplate, not evidence;
     *        the LSH path never drops)
-    * @return pairs (id_l, id_r, key) with id_l < id_r, deduplicated. */
+    * @return pairs (id_l, id_r, key) with id_l < id_r, deduplicated.
+    *
+    * Plan shape (scale-reasoned): the vast majority of bucket keys are
+    * unique or tiny, so the main path is ONE hash-aggregate shuffle
+    * (groupBy key + collect_list, lists bounded by allPairsCap) — no
+    * global sort. Hot keys are rare by construction (each holds > cap
+    * members), so their key set is collected-small and broadcast; only hot
+    * rows pay the per-key sort for O(n) chain pairing. At 10^12 docs the
+    * hot-key set is the boilerplate band/fingerprint population — bounded
+    * by rows/cap; if it ever exceeded broadcast size the fallback is the
+    * window form (kept in git history). */
   def pairs(buckets: DataFrame, allPairsCap: Int = AllPairsCap,
             dropHotAbove: Option[Int] = None): DataFrame = {
-    val w = Window.partitionBy("key")
-    val counted = buckets.withColumn("__cnt", count(lit(1)).over(w))
-    val withCnt = dropHotAbove match {
-      case Some(cap) => counted.filter(col("__cnt") <= cap)
-      case None => counted
+    val counts = buckets.groupBy("key").agg(count(lit(1)).as("__cnt"))
+    val bigKeys = counts.filter(col("__cnt") > allPairsCap) // hot + dropped
+    val hotKeys = dropHotAbove match {
+      case Some(cap) => bigKeys.filter(col("__cnt") <= cap).select("key")
+      case None => bigKeys.select("key")
     }
 
-    val small = withCnt.filter(col("__cnt") <= allPairsCap)
+    val smallPairs = buckets
+      .join(broadcast(bigKeys.select("key")), Seq("key"), "left_anti")
       .groupBy("key").agg(sort_array(collect_list(col("id"))).as("ids"))
-    // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each
-    // element, pair it with every later element.
-    val smallPairs = small
+      .filter(size(col("ids")) >= 2)
+      // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each
+      // element, pair it with every later element.
       .select(col("key"), explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
@@ -96,7 +107,8 @@ object PairGen {
       .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
 
     val chainW = Window.partitionBy("key").orderBy(col("sort"), col("id"))
-    val chainPairs = withCnt.filter(col("__cnt") > allPairsCap)
+    val chainPairs = buckets
+      .join(broadcast(hotKeys), Seq("key"), "left_semi")
       .withColumn("__nxt", lead(col("id"), 1).over(chainW))
       .filter(col("__nxt").isNotNull)
       .select(
@@ -188,10 +200,14 @@ object Substring {
     val fps = docs.select(
         col(idCol).as("id"),
         explode(GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow)).as("key"))
-      .distinct()
+      // (id, key) is distinct by construction: winnow de-dups per doc
       .withColumn("sort", col("id"))
-    // per-doc fingerprint counts, for the containment-ratio test
-    val nFps = fps.groupBy("id").agg(count(lit(1)).as("n_fps"))
+    // per-doc fingerprint counts for the containment-ratio test — computed
+    // narrowly from the array length (winnow emits distinct fps), not via a
+    // groupBy over the exploded table
+    val nFps = docs.select(
+      col(idCol).as("id"),
+      size(GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow)).as("n_fps"))
     val shared = PairGen.pairs(fps, cfg.allPairsCap, dropHotAbove = Some(cfg.substringDfCap))
       .groupBy("id_l", "id_r").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= cfg.substringMinFps)

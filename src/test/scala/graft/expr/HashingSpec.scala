@@ -1,0 +1,102 @@
+package graft.expr
+
+import graft.model.EngineConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashingSpec extends AnyFunSuite {
+  private val cfg = EngineConfig.default
+  private val (pa, pb) = Hashing.permConstants(cfg.numPerms, cfg.seed)
+
+  test("hash64 is deterministic and spread") {
+    assert(Hashing.hash64("hello") == Hashing.hash64("hello"))
+    assert(Hashing.hash64("hello") != Hashing.hash64("hellp"))
+    assert(Hashing.hash64("") != Hashing.hash64("a"))
+  }
+
+  test("permConstants are in-range and seed-stable") {
+    assert(pa.forall(a => a >= 1 && a < Hashing.MersennePrime))
+    assert(pb.forall(b => b >= 0 && b < Hashing.MersennePrime))
+    val (pa2, _) = Hashing.permConstants(cfg.numPerms, cfg.seed)
+    assert(pa.sameElements(pa2))
+    val (pa3, _) = Hashing.permConstants(cfg.numPerms, cfg.seed + 1)
+    assert(!pa.sameElements(pa3))
+  }
+
+  test("permHash stays within [0, p)") {
+    val rnd = new java.util.SplittableRandom(3)
+    for (_ <- 0 until 10000) {
+      val x = rnd.nextLong()
+      val idx = rnd.nextInt(cfg.numPerms)
+      val h = Hashing.permHash(x, pa(idx), pb(idx))
+      assert(h >= 0 && h < Hashing.MersennePrime, s"x=$x idx=$idx h=$h")
+    }
+  }
+
+  test("shingleHashes: counts, determinism, short docs empty") {
+    val t = "a b c d e"
+    assert(Hashing.shingleHashes(t, 3).length == 3) // abc bcd cde
+    assert(Hashing.shingleHashes("a b", 3).isEmpty)
+    assert(Hashing.shingleHashes("", 3).isEmpty)
+    assert(Hashing.shingleHashes(t, 3).sameElements(Hashing.shingleHashes(t, 3)))
+    // repeated shingles dedup
+    assert(Hashing.shingleHashes("x y x y x y x y", 2).length == 2) // "x y", "y x"
+  }
+
+  test("minhash estimate concentrates around true Jaccard") {
+    val rnd = new java.util.SplittableRandom(7)
+    val base = Array.fill(300)(rnd.nextLong())
+    // overlap fraction f -> true jaccard f/(2-f)
+    for (f <- Seq(0.5, 0.8, 0.95)) {
+      val keep = (300 * f).toInt
+      val other = base.take(keep) ++ Array.fill(300 - keep)(rnd.nextLong())
+      val sl = Hashing.minhash(base, pa, pb)
+      val sr = Hashing.minhash(other, pa, pb)
+      val est = Hashing.jaccardEstimate(sl, sr)
+      val truth = Hashing.exactJaccard(base, other)
+      assert(math.abs(est - truth) < 0.13, s"f=$f est=$est truth=$truth")
+    }
+  }
+
+  test("minhash of identical sets is identical; of empty set is null") {
+    val s = Array(1L, 2L, 3L)
+    assert(Hashing.minhash(s, pa, pb).sameElements(Hashing.minhash(s.reverse, pa, pb)))
+    assert(Hashing.minhash(Array.empty[Long], pa, pb) == null)
+  }
+
+  test("simhash: identical text 0 hamming; small edit small hamming; unrelated large") {
+    val a = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 100).map(i => if (i == 50) "changed" else s"tok$i").mkString(" ")
+    val c = (1 to 100).map(i => s"other$i").mkString(" ")
+    assert(Hashing.hamming(Hashing.simhash(a), Hashing.simhash(a)) == 0)
+    assert(Hashing.hamming(Hashing.simhash(a), Hashing.simhash(b)) <= 6)
+    assert(Hashing.hamming(Hashing.simhash(a), Hashing.simhash(c)) > 10)
+  }
+
+  test("bandHashes: equal band rows collide, differing rows don't (whp)") {
+    val sigA = Array.tabulate(128)(_.toLong)
+    val sigB = sigA.clone(); sigB(127) = 999L // last band differs
+    val ba = Hashing.bandHashes(sigA, 16, 8)
+    val bb = Hashing.bandHashes(sigB, 16, 8)
+    assert(ba.init.sameElements(bb.init))
+    assert(ba.last != bb.last)
+  }
+
+  test("winnow: containment shares fingerprints; determinism; short text empty") {
+    val rnd = new java.util.SplittableRandom(11)
+    val words = Array.fill(200)("w" + rnd.nextInt(10000))
+    val full = words.mkString(" ")
+    val slice = words.slice(40, 160).mkString(" ")
+    val ff = Hashing.winnow(full, 25, 32).toSet
+    val fs = Hashing.winnow(slice, 25, 32).toSet
+    val shared = ff.intersect(fs).size
+    assert(shared >= (fs.size * 0.5).toInt, s"shared=$shared of ${fs.size}")
+    assert(Hashing.winnow("tiny", 25, 32).isEmpty)
+    assert(Hashing.winnow(full, 25, 32).sameElements(Hashing.winnow(full, 25, 32)))
+  }
+
+  test("exactJaccard basics") {
+    assert(Hashing.exactJaccard(Array(1L, 2L), Array(1L, 2L)) == 1.0)
+    assert(Hashing.exactJaccard(Array(1L, 2L), Array(3L, 4L)) == 0.0)
+    assert(Hashing.exactJaccard(Array(1L, 2L, 3L), Array(2L, 3L, 4L)) == 0.5)
+  }
+}

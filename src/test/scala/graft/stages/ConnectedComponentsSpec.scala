@@ -1,0 +1,68 @@
+package graft.stages
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain A-B-C collapses to min id (association-match transitivity)") {
+    assert(cc(Seq((1L, 2L), (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star and reversed orientations") {
+    assert(cc(Seq((5L, 1L), (1L, 9L), (7L, 1L))) ==
+      Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L))
+  }
+
+  test("two components keep separate min labels") {
+    val m = cc(Seq((1L, 2L), (10L, 11L), (11L, 12L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    assert(cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge set") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("long path converges within iteration budget") {
+    val path = (0L until 64L).map(i => (i, i + 1))
+    val m = cc(path)
+    assert(m.size == 65 && m.values.forall(_ == 0L))
+  }
+
+  test("100-node random graph matches driver-side union-find") {
+    val rnd = new java.util.SplittableRandom(17)
+    val edges = (1 to 120).map(_ => (rnd.nextLong(100), rnd.nextLong(100)))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find oracle
+    val parent = Array.tabulate(100)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (0 until 100).map(i => i.toLong -> {
+      // canonical min via full resolution
+      var r = i; while (parent(r) != r) r = parent(r); r.toLong
+    }).toMap
+    val got = cc(edges)
+    val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    nodesInEdges.foreach { n =>
+      assert(got(n) == truth(n.toInt), s"node $n: got ${got(n)}, want ${truth(n.toInt)}")
+    }
+  }
+
+  test("assign: singletons keep their own id") {
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val m = ConnectedComponents.assign(spark, ids, edges).as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+}

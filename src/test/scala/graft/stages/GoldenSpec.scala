@@ -1,0 +1,54 @@
+package graft.stages
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalDocs: longest text, then earliest ts, then min id") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, "aaa", ts("2024-01-02 00:00:00")),
+      (2L, 10L, "aaaaa", ts("2024-01-03 00:00:00")), // longest wins
+      (3L, 10L, "aaaaa", ts("2024-01-01 00:00:00")), // same len, earlier ts wins
+      (9L, 20L, "x", ts("2024-01-01 00:00:00")))
+      .toDF("id", "cluster_id", "text", "warc_ts")
+    val c = Golden.canonicalDocs(df).select("cluster_id", "id").as[(Long, Long)]
+      .collect().toMap
+    assert(c == Map(10L -> 3L, 20L -> 9L))
+  }
+
+  test("goldenFill: per-column latest non-null (W4/A7 semantics)") {
+    val df = Seq(
+      (10L, 1L, Some("a"), None: Option[String]),
+      (10L, 2L, None, Some("x")),
+      (10L, 3L, Some("b"), None)) // latest non-null col1 = b (order 3)
+      .toDF("cluster_id", "ord", "c1", "c2")
+    val g = Golden.goldenFill(df, "ord", Seq("c1", "c2"))
+      .as[(Long, String, String)].collect().head
+    assert(g == ((10L, "b", "x")))
+  }
+
+  test("denseIds: distributed two-phase equals single-window dense_rank") {
+    val masters = (1L to 500L).filter(_ % 3 == 0).map(i => i * 7).toDF("cluster_id")
+    val dist = Golden.denseIds(spark, masters, "cluster_id", 1000000L, partitions = 4)
+      .as[(Long, Long)].collect().toMap
+    val expected = masters.distinct()
+      .withColumn("new_id",
+        dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("cluster_id"))
+          .cast("long") + lit(1000000L))
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
+  }
+
+  test("lookupTable: is_master flag and new_id propagation") {
+    val assigns = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "cluster_id")
+    val newIds = Seq((1L, 1000001L), (5L, 1000002L)).toDF("cluster_id", "new_id")
+    val lt = Golden.lookupTable(assigns, newIds)
+      .select("id", "cluster_id", "new_id", "is_master")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(lt.sameElements(Array(
+      (1L, 1L, 1000001L, true), (2L, 1L, 1000001L, false), (5L, 5L, 1000002L, true))))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.stages
+
+import graft.SparkSpec
+import graft.model.EngineConfig
+import org.apache.spark.sql.functions._
+
+class StagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ExactDedup: survivors keep rn=1, holdouts carry master = min id") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "other"), (5L, "third")).toDF("id", "text")
+    val (surv, hold) = ExactDedup.split(docs)
+    assert(surv.select("id").as[Long].collect().sorted.sameElements(Array(1L, 4L, 5L)))
+    val h = hold.as[(Long, Long)].collect().sortBy(_._1)
+    assert(h.sameElements(Array((2L, 1L), (3L, 1L))))
+  }
+
+  test("PairGen: all pairs for small buckets, chain for hot, none for singles") {
+    val small = (1L to 5L).map(i => (100L, i, i)) // one bucket of 5
+    val single = Seq((200L, 9L, 9L))
+    val hot = (1L to 80L).map(i => (300L, 1000L + i, i)) // > cap(64)
+    val buckets = (small ++ single ++ hot).toDF("key", "id", "sort")
+    val pairs = PairGen.pairs(buckets).as[(Long, Long, Long)].collect()
+    val smallPairs = pairs.filter(_._3 == 100L)
+    assert(smallPairs.length == 10) // C(5,2)
+    assert(smallPairs.forall(p => p._1 < p._2))
+    val hotPairs = pairs.filter(_._3 == 300L)
+    assert(hotPairs.length == 79) // chain n-1
+    assert(!pairs.exists(_._3 == 200L))
+  }
+
+  test("PairGen: dropHotAbove excludes boilerplate buckets entirely") {
+    val buckets = ((1L to 80L).map(i => (1L, i, i)) ++ Seq((2L, 1L, 1L), (2L, 2L, 2L)))
+      .toDF("key", "id", "sort")
+    val pairs = PairGen.pairs(buckets, 64, dropHotAbove = Some(50))
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.forall(_._3 == 2L))
+    assert(pairs.length == 1)
+  }
+
+  test("Blocking: identical docs collide in all bands, candidates dedup across bands") {
+    val cfg = EngineConfig.default
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, (1 to 200).map(i => s"zz$i").mkString(" ")))
+      .toDF("id", "text")
+    val sigs = Signatures.withSignatures(docs, cfg).select("id", "minhash", "simhash")
+    val cand = Blocking.candidatePairs(sigs, cfg).as[(Long, Long, Int)].collect()
+    assert(cand.count(c => c._1 == 1L && c._2 == 2L) == 1) // deduped across 16 bands
+    assert(cand.forall(c => !(c._1 == 3L || c._2 == 3L)))
+    assert(cand.head._3 == 0) // lowest band index kept as match_key
+  }
+
+  test("Scoring: ordered levels, threshold semantics") {
+    val cfg = EngineConfig.default
+    val t1 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 100).map(i => if (i % 50 == 0) "edited" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t2)).toDF("id", "text")
+    val sigs = Signatures.withSignatures(docs, cfg).select("id", "minhash", "simhash")
+    val pairs = Seq((1L, 2L, 0)).toDF("id_l", "id_r", "match_key")
+    val scored = Scoring.score(pairs, sigs, cfg).collect().head
+    assert(scored.getAs[Int]("level") >= 1)
+    val edges = Scoring.edges(Scoring.score(pairs, sigs, cfg)).count()
+    assert(edges == 1)
+  }
+
+  test("Substring: slice+boilerplate detected; boilerplate-only pair rejected") {
+    val cfg = EngineConfig.default.copy(substringDfCap = 3)
+    val rnd = new java.util.SplittableRandom(13)
+    def words(n: Int, p: String) = (1 to n).map(i => p + rnd.nextInt(100000)).mkString(" ")
+    val boiler = words(30, "b")
+    val base = words(300, "w")
+    val slice = boiler + " " + base.split(" ").slice(50, 250).mkString(" ")
+    // 5 docs sharing only boilerplate (df-pruned), plus a true containment
+    val docs = (Seq((1L, base), (2L, slice)) ++
+      (3L to 7L).map(i => (i, boiler + " " + words(100, s"u$i")))).toDF("id", "text")
+    val edges = Substring.edges(docs, cfg).as[(Long, Long, Long)].collect()
+    assert(edges.exists(e => e._1 == 1L && e._2 == 2L), s"missing containment edge: ${edges.mkString(",")}")
+    assert(edges.forall(e => e._1 == 1L && e._2 == 2L), s"boilerplate false edge: ${edges.mkString(",")}")
+  }
+}
