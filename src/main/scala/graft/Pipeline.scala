@@ -91,6 +91,50 @@ object Pipeline {
     survivorAssign.unionByName(holdoutAssign)
   }
 
+  /** Resumable pipeline: every stage boundary is an Iceberg-style snapshot
+    * commit ([[graft.io.SnapshotStore]]). A killed run restarts from the
+    * last committed snapshot and — because every stage is a deterministic
+    * function of its committed inputs + config — reproduces byte-identical
+    * output (north_rule resumability; reference analog
+    * person_1/person.py:752-756). Per-stage, per-partition lineage rows are
+    * committed alongside (`lineage_*` snapshots). */
+  def runResumable(spark: SparkSession, docs: DataFrame, storeRoot: String,
+                   cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    GraftFunctions.register(spark)
+    val store = new graft.io.SnapshotStore(storeRoot)
+    val fp = Integer.toHexString(configJson(cfg).hashCode)
+
+    def withLineage(name: String)(compute: => DataFrame): DataFrame = {
+      val committed = store.stage(spark, name, fp)(compute)
+      if (store.currentId(s"lineage_$name").isEmpty) {
+        store.commit(s"lineage_$name",
+          committed.groupBy(spark_partition_id().as("partition_id"))
+            .count().withColumn("stage", lit(name)), fp)
+      }
+      committed
+    }
+
+    val survivors = withLineage("survivors") { ExactDedup.split(docs, "id", "text")._1 }
+    val holdouts = withLineage("holdouts") { ExactDedup.split(docs, "id", "text")._2 }
+    val sigs = withLineage("signatures") {
+      Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash")
+    }
+    val edges = withLineage("edges") {
+      val cand = Blocking.candidatePairs(sigs, cfg)
+      Scoring.edges(Scoring.score(cand, sigs, cfg))
+        .unionByName(Substring.edges(survivors, cfg).select("src", "dst"))
+    }
+    withLineage("assignments") {
+      val sa = ConnectedComponents.assign(spark, survivors.select("id"), edges,
+        cfg.maxCcIterations)
+      val ha = holdouts
+        .join(sa.withColumnRenamed("id", "__sid"),
+          holdouts("master_id") === col("__sid"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
+      sa.unionByName(ha)
+    }
+  }
+
   /** Ingest raw pages: extract text (pinned extractor) + assign stable ids.
     * id = xxhash64(url) — deterministic; collision-checked in tests. For
     * corpora with numeric ids, pass docs straight to [[run]]. */

@@ -1,0 +1,136 @@
+package graft.compare
+
+import graft.expr.GraftFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The comparison DSL — Splink's gamma-level semantics re-expressed as
+  * composable Column builders (SURVEY §2.11). Every comparison is an
+  * ordered level table evaluated top-down, "first match wins"; gamma = −1
+  * when either side is NULL ("Invalid (NULL)",
+  * `person_1/link_model_per.py:1156`).
+  *
+  * Level tables are bit-faithful to the reference configs at
+  * `person_1/link_model_per.py:616-651` (semantics spelled out at
+  * `:1153-1201`); the spec reproduces each table on constructed cases.
+  */
+object Comparisons {
+
+  /** Ordered-levels evaluator: levels as (condition, gamma), highest first;
+    * −1 if either input NULL; 0 otherwise. */
+  def gamma(nullCols: Seq[Column], levels: Seq[(Column, Int)]): Column = {
+    val anyNull = nullCols.map(_.isNull).reduce(_ || _)
+    levels.foldLeft(when(anyNull, lit(-1))) { case (acc, (cond, g)) =>
+      acc.when(cond, lit(g))
+    }.otherwise(lit(0))
+  }
+
+  /** NameComparison(col, jw=0.9, dmeta_col):
+    * 3 exact; 2 JW ≥ 0.9; 1 dmetaphone arrays overlap; 0; −1
+    * (`person_1/link_model_per.py:616-628`, levels `:1157-1173`). */
+  def nameComparison(l: Column, r: Column, dmL: Column, dmR: Column,
+                     jwThreshold: Double = 0.9): Column =
+    gamma(Seq(l, r), Seq(
+      (l === r, 3),
+      (GraftFunctions.jaroWinkler(l, r) >= jwThreshold, 2),
+      (arrays_overlap(dmL, dmR), 1)))
+
+  /** DateOfBirthComparison(thresholds=[1 month, 1 yr, 10 yr] + DL ≤ 1 on
+    * the string form): 5 exact; 4 DL ≤ 1; 3 ≤ 1 month; 2 ≤ 1 yr;
+    * 1 ≤ 10 yr; 0; −1 (`:630-635`, semantics `:1175-1183`). */
+  def dateOfBirthComparison(l: Column, r: Column): Column = {
+    val ls = date_format(l, "yyyy-MM-dd")
+    val rs = date_format(r, "yyyy-MM-dd")
+    val mb = abs(months_between(l, r))
+    gamma(Seq(l, r), Seq(
+      (l === r, 5),
+      (GraftFunctions.damerauLevenshtein(ls, rs) <= 1, 4),
+      (mb <= 1, 3),
+      (mb <= 12, 2),
+      (mb <= 120, 1)))
+  }
+
+  /** ExactMatch: 1 exact; 0; −1 (`:638-640`). */
+  def exactMatch(l: Column, r: Column): Column =
+    gamma(Seq(l, r), Seq((l === r, 1)))
+
+  /** DamerauLevenshteinAtThresholds(col, 2): 2 exact; 1 DL ≤ 2; 0; −1
+    * (`:642-644`, semantics `:1186-1190`). */
+  def damerauLevenshteinAtThresholds(l: Column, r: Column, threshold: Int = 2): Column =
+    gamma(Seq(l, r), Seq(
+      (l === r, 2),
+      (GraftFunctions.damerauLevenshtein(l, r) <= threshold, 1)))
+
+  /** ForenameSurnameComparison(gn1, surname, jw=0.9):
+    * 5 exact concat; 4 reversed columns ("both directions", `:1195`);
+    * 3 JW ≥ 0.9 on both; 2 exact surname; 1 exact forename; 0; −1
+    * (`:646-651`, semantics `:1192-1200`). */
+  def forenameSurnameComparison(fnL: Column, fnR: Column,
+                                snL: Column, snR: Column,
+                                jwThreshold: Double = 0.9): Column = {
+    val jw = (a: Column, b: Column) => GraftFunctions.jaroWinkler(a, b)
+    gamma(Seq(fnL, fnR, snL, snR), Seq(
+      (fnL === fnR && snL === snR, 5),
+      (fnL === snR && snL === fnR, 4),
+      (jw(fnL, fnR) >= jwThreshold && jw(snL, snR) >= jwThreshold, 3),
+      (snL === snR, 2),
+      (fnL === fnR, 1)))
+  }
+
+  /** Web-text analog levels (engine §2.11 mapping): exact-hash equal >
+    * Jaccard ≥ t > SimHash-Hamming ≤ h > substring — see
+    * [[graft.stages.Scoring]]. */
+}
+
+/** The reference's cleaning / derivation scalar functions (SURVEY §2.4),
+  * as pure Catalyst column expressions — no UDFs. */
+object PersonOps {
+
+  /** F1: remove apostrophes and hyphens, lowercase
+    * (`person_1/link_model_per.py:371-395`). */
+  def cleanName(c: Column): Column = lower(translate(c, "'-", ""))
+
+  /** F3: name_concat = trim(gn1 ' ' surname), NULL-safe coalesce
+    * (`person_1/link_model_per.py:594-597`). */
+  def nameConcat(gn1: Column, surname: Column): Column =
+    trim(concat_ws(" ", coalesce(gn1, lit("")), coalesce(surname, lit(""))))
+
+  /** F2: given_names 3-way split — first token, second token, remainder
+    * (`person_2/person_a/person_a.py:46-65`). */
+  def splitGivenNames(c: Column): (Column, Column, Column) = {
+    val parts = split(trim(c), " ", 3)
+    (element_at(parts, 1),
+      when(size(parts) >= 2, element_at(parts, 2)),
+      when(size(parts) >= 3, element_at(parts, 3)))
+  }
+
+  /** P2: code-to-NULL normalisation (`person_1/link_model_per.py:129-137`). */
+  def codesToNull(c: Column, codes: String*): Column =
+    when(c.isin(codes: _*), lit(null)).otherwise(c)
+
+  /** F4: double-metaphone pair column. */
+  def dmetaphone(c: Column): Column = GraftFunctions.dmetaphone(c)
+
+  /** P8: can_exclude flag — both names NULL, or one name + DOB NULL;
+    * 'unborn' rows exempt (`person_2/person_a/person_a.py:838-856`). */
+  def canExclude(gn1: Column, surname: Column, dob: Column): Column = {
+    val unborn = lower(coalesce(gn1, lit(""))).contains("unborn") ||
+      lower(coalesce(surname, lit(""))).contains("unborn")
+    when(unborn, lit(false))
+      .when(gn1.isNull && surname.isNull, lit(true))
+      .when((gn1.isNull || surname.isNull) && dob.isNull, lit(true))
+      .otherwise(lit(false))
+  }
+
+  /** P7: out-of-range DOB → NULL (pandas ns-timestamp range kept for
+    * parity, `person_1/link_model_per.py:1026-1041`). */
+  def clampDob(c: Column): Column = {
+    val lo = to_timestamp(lit("1677-09-21 00:12:44"))
+    val hi = to_timestamp(lit("2262-04-11 23:47:16"))
+    when(c < lo || c > hi, lit(null)).otherwise(c)
+  }
+
+  /** F16: TRY_CAST ordering key for hybrid string ids
+    * (`person_1/dedup_per.sql:110-112`). */
+  def tryCastId(colName: String): Column = expr(s"try_cast($colName AS BIGINT)")
+}

@@ -1,0 +1,81 @@
+package graft.compare
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational operators over the person schema — the
+  * T-SQL post-processing re-expressed Spark-first (SURVEY §2.3 J6-J8,
+  * §2.5 A5-A7, §2.6 W5-W7). These run against the F2 person fixture in
+  * tests; the web pipeline uses their Golden.* analogs.
+  */
+object PersonParity {
+
+  /** W5 master re-selection by completeness (`person_1/dedup_per.sql:63-127`):
+    * rank cluster members by non-null count DESC, try_cast(id) ASC NULLS
+    * LAST, id ASC; additionally a cluster whose members ALL carry an
+    * underscore-id keeps its rows eligible, otherwise underscore ids are
+    * excluded from mastership (`dedup_per.sql:75-86`). */
+  def selectMasters(rows: DataFrame, completenessCols: Seq[String]): DataFrame = {
+    val nonNullCount = completenessCols
+      .map(c => when(col(c).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val hasUnderscore = col("id").contains("_").cast("int")
+    val clusterW = Window.partitionBy("cluster_id")
+    val allUnderscore = min(hasUnderscore === 1).over(clusterW) // A6 analog
+    val eligible = rows
+      .withColumn("__all_underscore", allUnderscore)
+      .filter(!col("id").contains("_") || col("__all_underscore"))
+    val w = Window.partitionBy("cluster_id").orderBy(
+      nonNullCount.desc,
+      PersonOps.tryCastId("id").asc_nulls_last,
+      col("id").asc)
+    eligible.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__all_underscore")
+  }
+
+  /** W4/A7 golden-record fill: per column, latest non-null by last_updated
+    * (`person_1/dedup_per.sql:226-330`). */
+  def goldenFill(rows: DataFrame, fillCols: Seq[String]): DataFrame = {
+    val aggs = fillCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col("last_updated"))).as(c))
+    rows.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DOB repair rules (`person_1/dedup_per.sql:431-571`), T-SQL
+    * DATEDIFF(YEAR) = year-boundary crossings (F14 semantics — NOT full
+    * years): a master DOB is invalid if ≥ 100 boundary-years old, or within
+    * 12 months of date_created, or after date_created; replaced by the most
+    * recent (by last_updated) valid member DOB in the cluster. */
+  def repairDob(masters: DataFrame, members: DataFrame): DataFrame = {
+    def yearDiff(a: Column, b: Column): Column = year(a) - year(b)
+    def invalid(dob: Column, created: Column): Column =
+      dob.isNotNull && (
+        yearDiff(created, dob) >= 100 ||
+        dob >= add_months(created, -12))
+    val w = Window.partitionBy("cluster_id").orderBy(col("last_updated").desc)
+    val candidates = members
+      .filter(col("date_of_birth").isNotNull &&
+        !invalid(col("date_of_birth"), col("date_created")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("date_of_birth").as("__repl"))
+    masters.join(candidates, Seq("cluster_id"), "left")
+      .withColumn("date_of_birth",
+        when(invalid(col("date_of_birth"), col("date_created")) && col("__repl").isNotNull,
+          col("__repl"))
+          .otherwise(col("date_of_birth")))
+      .drop("__repl")
+  }
+
+  /** W6 namespaced dense ids: DENSE_RANK per entity type + range base
+    * (1M/2M/…), `person_2/fv_all_person_lookup.sql:32-109`. */
+  def namespacedIds(lookup: DataFrame, rangeBases: Map[String, Long]): DataFrame = {
+    val w = Window.partitionBy("entity_type").orderBy("cluster_id")
+    val baseExpr = rangeBases.foldLeft(lit(null: java.lang.Long).cast("long")) {
+      case (acc, (t, b)) => when(col("entity_type") === t, lit(b)).otherwise(acc)
+    }
+    lookup.withColumn("new_id", dense_rank().over(w).cast("long") - 1 + baseExpr)
+  }
+}

@@ -203,14 +203,19 @@ object Hashing {
       i += 1
     }
     if (n <= w) return Array(gram.min)
+    // O(n) sliding-window minimum via monotonic index deque; ties keep the
+    // rightmost minimum (robust winnowing convention)
     val sel = new java.util.LinkedHashSet[java.lang.Long]()
-    var start = 0
-    while (start + w <= n) {
-      var minIdx = start
-      var j = start + 1
-      while (j < start + w) { if (gram(j) <= gram(minIdx)) minIdx = j; j += 1 }
-      sel.add(gram(minIdx))
-      start += 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque[head until tail) holds increasing gram values
+    var j = 0
+    while (j < n) {
+      while (tail > head && gram(deque(tail - 1)) >= gram(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) sel.add(gram(deque(head)))
+      j += 1
     }
     val out = new Array[Long](sel.size)
     val it = sel.iterator()

@@ -1,0 +1,89 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot store (SURVEY §7.2 module 11).
+  *
+  * No Iceberg runtime jar ships in this sandbox (offline build), so this
+  * module implements the Iceberg *contract* the pipeline needs — immutable
+  * parquet data files + a tiny JSON manifest per snapshot (id, parent,
+  * stage name, config fingerprint, row count), committed atomically by
+  * manifest rename — giving checkpoint-based resumability and lineage
+  * (north_rule: "restarts from the last committed snapshot"). A real
+  * Iceberg catalog slots in by replacing this class: `commit` ≙ append
+  * snapshot, `latest` ≙ current-snapshot scan.
+  *
+  * Reference analog: trained-model JSON save/load + idempotent DDL reruns
+  * (`person_1/link_model_per.py:745-752,1281-1286`, `person_1/person.py:752-756`).
+  */
+final class SnapshotStore(val root: String) {
+  private val dataDir: Path = Paths.get(root, "data")
+  private val manifestDir: Path = Paths.get(root, "manifests")
+  Files.createDirectories(dataDir)
+  Files.createDirectories(manifestDir)
+
+  private def manifestPath(stage: String): Path = manifestDir.resolve(s"$stage.json")
+
+  /** Latest committed snapshot id (monotone counter across all stages). */
+  private def nextId(): Long = synchronized {
+    val ids = Files.list(manifestDir).toArray.map(_.toString)
+      .flatMap { p =>
+        val s = new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+        "\"id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      }
+    if (ids.isEmpty) 1L else ids.max + 1
+  }
+
+  /** Commit a stage result: write immutable parquet, then atomically move
+    * the manifest into place. A killed job leaves either no manifest (stage
+    * recomputes on restart) or a complete one (stage is skipped) — never a
+    * half-visible snapshot. */
+  def commit(stage: String, df: DataFrame, configFingerprint: String): DataFrame = {
+    val spark = df.sparkSession
+    val id = nextId()
+    val dest = dataDir.resolve(s"$stage-$id")
+    df.write.mode("overwrite").parquet(dest.toString)
+    val rows = spark.read.parquet(dest.toString).count()
+    val parent = currentId(stage).getOrElse(0L)
+    val manifest =
+      s"""{"id":$id,"parent":$parent,"stage":"$stage","path":"${dest.toString}",
+         |"config":"$configFingerprint","rows":$rows}""".stripMargin.replace("\n", "")
+    val tmp = manifestDir.resolve(s".$stage.json.tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.read.parquet(dest.toString)
+  }
+
+  private def readManifest(stage: String): Option[String] = {
+    val p = manifestPath(stage)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
+  }
+
+  def currentId(stage: String): Option[Long] =
+    readManifest(stage).flatMap(s =>
+      "\"id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
+
+  /** Latest committed snapshot for a stage, iff its config fingerprint
+    * matches (a changed engine config invalidates downstream snapshots —
+    * model-JSON semantics). */
+  def latest(spark: SparkSession, stage: String, configFingerprint: String): Option[DataFrame] =
+    readManifest(stage).flatMap { m =>
+      val cfgOk = s""""config":"$configFingerprint"""".r.findFirstIn(m).isDefined
+      val path = "\"path\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1))
+      if (cfgOk) path.filter(p => Files.exists(Paths.get(p)))
+        .map(p => spark.read.parquet(p))
+      else None
+    }
+
+  /** Compute-or-load: the resumability primitive. */
+  def stage(spark: SparkSession, name: String, configFingerprint: String)
+           (compute: => DataFrame): DataFrame =
+    latest(spark, name, configFingerprint).getOrElse {
+      commit(name, compute, configFingerprint)
+    }
+}

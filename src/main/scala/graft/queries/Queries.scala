@@ -310,6 +310,37 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("text").as("n_distinct_texts"),
           countDistinct("lang").as("n_langs"))
+    }),
+
+    // F4/F5 phonetic + fuzzy comparison surface (no DuckDB dmetaphone →
+    // rows-only; unit specs pin the values)
+    "q29_phonetic" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          GraftFunctions.dmetaphone(col("c_mktsegment")).as("dm_codes"),
+          GraftFunctions.jaroWinkler(col("c_name"), col("c_mktsegment")).as("jw"))
+        .orderBy("c_custkey")
+    }),
+
+    // multimodal plumbing end-to-end: binary payloads → batch decode →
+    // frame sampling counts (stub codec, real plumbing; rows-only)
+    "q30_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          Multimodal.MediaRow(id, "video", Multimodal.encodeStub(id, (n % 1920).toInt + 1, 1080, n))
+        }
+      val frames = Multimodal.frameSample(media, everyNth = 2)
+        .groupBy("id").agg(count(lit(1)).as("n_frames"))
+      Multimodal.decode(media).toDF()
+        .join(frames, "id")
+        .select(col("id").as("doc_id"), col("width"), col("durationMs").as("duration_ms"),
+          col("n_frames"))
+        .orderBy("doc_id")
     })
   )
 

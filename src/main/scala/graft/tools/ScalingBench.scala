@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.Pipeline
+import graft.fixtures.Corpus
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (north_rule): the same end-to-end dedup job
+  * at local[8] vs local[32] — the sandbox stand-in for N vs 4N executors
+  * (no real cluster here). Shuffle partitions scale with cores. Runs are
+  * interleaved A/B/A/B and the MINIMUM per level is reported: the sandbox
+  * shows 7-15%% CPU steal, and min-of-repeats is the standard estimator
+  * under intermittent external load.
+  */
+object ScalingBench {
+
+  private def runOnce(cores: Int, docs: Long): Double = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = Corpus.generate(spark, docs)
+      .select("id", "url", "warc_ts", "text", "lang").persist()
+    corpus.count()
+    val t0 = System.nanoTime()
+    Pipeline.runLite(spark, corpus).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docs = if (args.nonEmpty) args(0).toLong else 100000L
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val (small, large) = (8, 32)
+    val times = collection.mutable.Map(small -> List.empty[Double], large -> List.empty[Double])
+    for (r <- 1 to reps; c <- Seq(small, large)) {
+      val sec = runOnce(c, docs)
+      times(c) = sec :: times(c)
+      println(f"[scaling] rep $r local[$c]: $sec%.1f s (${docs / sec}%.0f docs/s)")
+    }
+    val tS = times(small).min
+    val tL = times(large).min
+    val eff = (tS / tL) / (large.toDouble / small)
+    println(
+      f"""{"docs":$docs,"cores_small":$small,"cores_large":$large,"sec_small":$tS%.1f,"sec_large":$tL%.1f,"docs_per_sec_small":${docs / tS}%.1f,"docs_per_sec_large":${docs / tL}%.1f,"speedup":${tS / tL}%.2f,"scaling_efficiency":$eff%.3f}""")
+  }
+}
