@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan gates (SURVEY §4): filters and projections must reach the
+  * parquet scan; small dimension joins must broadcast; the signature stage
+  * must be shuffle-free; co-partitioned aggregations must not re-shuffle.
+  * Runs against the sf0.001 harness tables. */
+class PlanQualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown + column pruning reach the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"missing pushed filter:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"missing pruned schema:\n$p")
+  }
+
+  test("dimension fan-in joins broadcast (q02)") {
+    val p = plan(queries.Queries.queries("q02_join_dims")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join must not sort-merge:\n$p")
+  }
+
+  test("signature stage is narrow (no Exchange)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g")).toDF("id", "text")
+    val p = plan(stages.Signatures.withSignatures(docs, model.EngineConfig.default))
+    assert(!p.contains("Exchange"), s"signatures must not shuffle:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar metric expressions") {
+    // parquet-backed input so Catalyst cannot constant-fold the whole query
+    val df = spark.read.parquet(s"$dir/customer.parquet")
+      .select(graft.expr.GraftFunctions.jaroWinkler(col("c_name"), col("c_mktsegment")).as("jw"),
+        graft.expr.GraftFunctions.damerauLevenshtein(col("c_name"), col("c_mktsegment")).as("dl"))
+    val p = plan(df)
+    // "*(1) Project [jaro_winkler(...)]" — the star marks whole-stage
+    // codegen; the custom doGenCode static calls live inside that stage
+    assert(p.contains("*(1) Project [jaro_winkler"), s"jw/dl must stay inside codegen:\n$p")
+    df.collect() // force execution: the generated static calls must compile
+  }
+
+  test("PairGen small-bucket path: groupBy reuses the aggregate exchange (one wide shuffle)") {
+    import spark.implicits._
+    val buckets = (1L to 100L).map(i => (i % 10, i, i)).toDF("key", "id", "sort")
+    val p = plan(stages.PairGen.pairs(buckets))
+    // budget: counts agg (reused for both broadcast key sets), list agg,
+    // hot-side window — plus one for the non-reused second counts branch
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$p")
+  }
+}
