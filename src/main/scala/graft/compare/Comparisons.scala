@@ -133,4 +133,72 @@ object PersonOps {
   /** F16: TRY_CAST ordering key for hybrid string ids
     * (`person_1/dedup_per.sql:110-112`). */
   def tryCastId(colName: String): Column = expr(s"try_cast($colName AS BIGINT)")
+
+  /** F11: suburb-code regex cleaning pipeline
+    * (`person_2/person_a/person_a.py:381-435`) — bracketed qualifiers,
+    * digits, road keywords, comma-split head, whitespace squeeze. Pure
+    * Catalyst regexp_replace chain, one step per reference step. */
+  def cleanSuburb(c: Column): Column = {
+    val steps: Seq[Column => Column] = Seq(
+      x => regexp_replace(x, "\\(.*?\\)", ""),          // drop (qualifiers)
+      x => regexp_replace(x, "[0-9]+", ""),              // drop digits
+      x => regexp_replace(x,
+        "(?i)\\b(ROAD|RD|STREET|ST|AVENUE|AVE|DRIVE|DR|COURT|CT|HIGHWAY|HWY)\\b", ""),
+      x => split(x, ",").getItem(0),                     // head of comma list
+      x => regexp_replace(x, "[^A-Za-z ]", " "),        // punctuation → space
+      x => regexp_replace(x, "\\s+", " "),              // squeeze
+      x => upper(trim(x)))
+    val cleaned = steps.foldLeft(c)((acc, f) => f(acc))
+    when(cleaned === "", lit(null)).otherwise(cleaned)
+  }
+
+  /** F12: address → suburb extraction (`person_2/person_c/person_c.py:404-639`):
+    * take the trailing alpha segment after the last street keyword or
+    * number, strip state abbreviations and the exclusion list. */
+  def extractSuburb(address: Column): Column = {
+    val afterKeyword = regexp_extract(address,
+      "(?i)(?:\\b(?:ROAD|RD|STREET|ST|AVENUE|AVE|DRIVE|DR|COURT|CT|HIGHWAY|HWY|PLACE|PL|CRESCENT|CRES)\\b)\\s+([A-Za-z ]+)$", 1)
+    val fallback = regexp_extract(address, "([A-Za-z ]+)$", 1)
+    val raw = when(length(afterKeyword) > 0, afterKeyword).otherwise(fallback)
+    val noState = regexp_replace(upper(trim(raw)),
+      "\\b(NSW|VIC|QLD|SA|WA|TAS|NT|ACT)\\b", "")
+    val squeezed = trim(regexp_replace(noState, "\\s+", " "))
+    when(squeezed === "" || squeezed.isin("UNKNOWN", "N A", "NA"), lit(null))
+      .otherwise(squeezed)
+  }
+
+  /** U1: parent1/parent2 unpivot of the child table via stack
+    * (`person_2/person_c/person_c.py:28-96`). */
+  def unpivotParents(child: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    child.select(col("child_id"), expr(
+      """stack(2,
+        |  'parent1', parent1_name, parent1_dob,
+        |  'parent2', parent2_name, parent2_dob)
+        |AS (parent_role, parent_name, parent_dob)""".stripMargin))
+      .filter(col("parent_name").isNotNull)
+}
+
+/** A2-analog: sampled pair statistics — the reference's u-estimation shape
+  * (`person_1/link_model_per.py:692-701`): sample up to maxPairs random
+  * pairs and report the proportion of each comparison level. The MinHash
+  * engine needs no m/u, but the sampling operator itself is part of the
+  * surface (and doubles as a calibration tool for thresholds). */
+object PairSampling {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def levelProportions(spark: SparkSession, docs: DataFrame, gammaCol: Column,
+                       maxPairs: Long, seed: Long = 42L): DataFrame = {
+    val n = docs.count()
+    if (n < 2) return spark.emptyDataFrame
+    // sample each side at sqrt(maxPairs/n^2) rate so the cross of the two
+    // samples ≈ maxPairs rows — never materialising the full n^2 space
+    val frac = math.min(1.0, math.sqrt(maxPairs.toDouble) / n)
+    val l = docs.sample(frac, seed).select(docs.columns.map(c => col(c).as(c + "_l")): _*)
+    val r = docs.sample(frac, seed + 1).select(docs.columns.map(c => col(c).as(c + "_r")): _*)
+    l.crossJoin(r)
+      .withColumn("gamma", gammaCol)
+      .groupBy("gamma").agg(count(lit(1)).as("pairs"))
+      .withColumn("proportion", col("pairs") / sum("pairs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+  }
 }
