@@ -296,6 +296,12 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // similarity search: IVF coarse-quantized ANN (second scale path)
+    "q31_knn_ivf" -> ((s, dir) => {
+      graft.sim.Knn.ivfTop1(s, t(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    }),
+
     // multimodal plumbing: binary payload metadata
     "q27_binary_meta" -> ((s, dir) => {
       t(s, dir, "documents")

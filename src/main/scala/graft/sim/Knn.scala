@@ -59,6 +59,56 @@ object Knn {
       .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"))
   }
 
+  /** IVF (inverted-file) top-1: coarse-quantize vectors to K deterministic
+    * centroids, probe the nProbe nearest cells per query. The second ANN
+    * scale path besides hyperplane LSH: at 10^12 vectors the centroid set
+    * stays driver-small (trained offline in production; here seeded by
+    * hash order for determinism), assignment is a narrow map, and search
+    * touches only nProbe cells instead of the full table. */
+  def ivfTop1(spark: SparkSession, embeddings: DataFrame, k: Int = 16,
+              nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // deterministic centroid sample: the k vectors with smallest mixed id
+    val cents = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy { case (id, _) => Hashing.mix64(id ^ seed) }
+      .take(k)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val centsB = spark.sparkContext.broadcast(cents)
+
+    def cos(a: Array[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val cellsUdf = udf((v: Seq[Float]) => {
+      val va = v.toArray
+      centsB.value.map { case (i, c) => (i, cos(c, va)) }
+        .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+    })
+    // data side: each vector lives in its single nearest cell
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", cellsUdf(col("embedding")).getItem(0))
+    // query side: probe the nProbe nearest cells
+    val probes = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", explode(cellsUdf(col("embedding"))))
+    val cand = probes.join(
+        assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("emb_b")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
+      .groupBy("vec_id").agg(max_by(col("nid"), col("cos")).as("nn_id"))
+    embeddings.select("vec_id")
+      .join(cand, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"))
+  }
+
   /** Brute-force cosine top-k (baseline; O(n^2) — test scale only). */
   def bruteTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
     GraftFunctions.register(spark)
