@@ -39,7 +39,9 @@ object Pipeline {
       .persist()
 
     val candidates = Blocking.candidatePairs(sigs, cfg).persist()
-    val scored = Scoring.score(candidates, sigs, cfg).persist()
+    val rawScored = Scoring.score(candidates, sigs, cfg)
+    val scored = (if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
+      else rawScored).persist()
     val simEdges = Scoring.edges(scored)
     val allEdges =
       (if (substringPass)
@@ -77,7 +79,10 @@ object Pipeline {
     val (survivors, holdouts) = ExactDedup.split(docs)
     val sigs = Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash")
     val candidates = Blocking.candidatePairs(sigs, cfg)
-    val simEdges = Scoring.edges(Scoring.score(candidates, sigs, cfg))
+    val rawScored = Scoring.score(candidates, sigs, cfg)
+    val scored = if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
+      else rawScored
+    val simEdges = Scoring.edges(scored)
     val allEdges =
       if (substringPass)
         simEdges.unionByName(Substring.edges(survivors, cfg).select("src", "dst"))
@@ -121,7 +126,10 @@ object Pipeline {
     }
     val edges = withLineage("edges") {
       val cand = Blocking.candidatePairs(sigs, cfg)
-      Scoring.edges(Scoring.score(cand, sigs, cfg))
+      val rawScored = Scoring.score(cand, sigs, cfg)
+      val sc = if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
+        else rawScored
+      Scoring.edges(sc)
         .unionByName(Substring.edges(survivors, cfg).select("src", "dst"))
     }
     withLineage("assignments") {
@@ -157,6 +165,7 @@ object Pipeline {
     s"""{"shingleK":${cfg.shingleK},"numPerms":${cfg.numPerms},"bands":${cfg.bands},""" +
       s""""rowsPerBand":${cfg.rowsPerBand},"seed":${cfg.seed},""" +
       s""""jaccardThreshold":${cfg.jaccardThreshold},"hammingThreshold":${cfg.hammingThreshold},""" +
+      s""""exactVerify":${cfg.exactVerify},""" +
       s""""winnowK":${cfg.winnowK},"winnowWindow":${cfg.winnowWindow},""" +
       s""""substringMinFps":${cfg.substringMinFps},"extractor":"${TextExtract.version}"}"""
 }

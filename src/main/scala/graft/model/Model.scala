@@ -74,6 +74,8 @@ final case class EngineConfig(
     // match wins. exact-hash > jaccard > simhash-hamming > substring.
     jaccardThreshold: Double = 0.7,
     hammingThreshold: Int = 3,
+    // staged-predicate exact check: MinHash estimate gates exact Jaccard
+    exactVerify: Boolean = true,
     // substring (winnowing) pass
     winnowK: Int = 25,            // chars per fingerprint gram
     winnowWindow: Int = 32,       // fp density ≈ 2/(w+1) per char

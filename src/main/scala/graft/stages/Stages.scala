@@ -186,6 +186,37 @@ object Scoring {
     * `match_weight > 22`, person_1/link_model_per.py:791,812-814). */
   def edges(scored: DataFrame): DataFrame =
     scored.filter(col("level") >= 1).select(col("id_l").as("src"), col("id_r").as("dst"))
+
+  /** Staged-predicate exact verification (SURVEY §4 "Threshold pushdown"):
+    * the cheap MinHash estimate gates the expensive exact-Jaccard check.
+    * Only docs touched by surviving candidates are re-shingled (left-semi
+    * against the broadcast candidate id set — the candidate set is tiny
+    * relative to the corpus), so the exact pass costs O(candidates), not
+    * O(corpus). Level-2 pairs whose exact Jaccard misses the threshold are
+    * demoted (to 1 if SimHash still matches, else 0) — engine edges then
+    * agree exactly with the all-pairs oracle definition. */
+  def exactVerify(scored: DataFrame, docs: DataFrame, cfg: EngineConfig,
+                  idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val cand = scored.filter(col("level") >= 1)
+    // no explicit broadcast hints: the candidate id set is usually tiny
+    // (AQE will broadcast it), but at high duplicate rates it can approach
+    // corpus size — the plan must stay valid either way
+    val ids = cand.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
+    val touched = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        GraftFunctions.shingleHashes(col(textCol), cfg.shingleK).as("__sh"))
+    val verified = cand
+      .join(touched.select(col(idCol).as("id_l"), col("__sh").as("__sh_l")), "id_l")
+      .join(touched.select(col(idCol).as("id_r"), col("__sh").as("__sh_r")), "id_r")
+      .withColumn("jaccard_exact", GraftFunctions.jaccardArrays(col("__sh_l"), col("__sh_r")))
+      .withColumn("level",
+        when(col("level") === 2 && col("jaccard_exact") < cfg.jaccardThreshold,
+          when(col("hamming") <= cfg.hammingThreshold, 1).otherwise(0))
+          .otherwise(col("level")))
+      .drop("__sh_l", "__sh_r")
+    verified.unionByName(
+      scored.filter(col("level") < 1).withColumn("jaccard_exact", lit(null).cast("double")))
+  }
 }
 
 /** Substring-duplicate pass (SURVEY §7.2 module 8): winnowing fingerprints

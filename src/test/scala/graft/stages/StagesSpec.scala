@@ -65,6 +65,24 @@ class StagesSpec extends SparkSpec {
     assert(edges == 1)
   }
 
+  test("exactVerify demotes level-2 pairs whose exact Jaccard misses the threshold") {
+    val cfg = EngineConfig.default
+    // two docs sharing exactly half their shingles: exact jaccard ≈ 0.33
+    // (< 0.7), but feed a fake level-2 row as if the estimate had passed
+    val t1 = (1 to 60).map(i => s"a$i").mkString(" ")
+    val t2 = ((1 to 30).map(i => s"a$i") ++ (1 to 30).map(i => s"z$i")).mkString(" ")
+    val docs = Seq((1L, t1), (2L, t2)).toDF("id", "text")
+    val scored = Seq((1L, 2L, 0, 0.75, 30, 2, "minhash-band=0"))
+      .toDF("id_l", "id_r", "match_key", "jaccard_est", "hamming", "level", "reason")
+    val v = Scoring.exactVerify(scored, docs, cfg).collect().head
+    assert(v.getAs[Int]("level") == 0, s"expected demotion, got $v")
+    assert(v.getAs[Double]("jaccard_exact") < cfg.jaccardThreshold)
+    // and a genuinely identical pair stays level 2
+    val docs2 = Seq((1L, t1), (2L, t1)).toDF("id", "text")
+    val v2 = Scoring.exactVerify(scored, docs2, cfg).collect().head
+    assert(v2.getAs[Int]("level") == 2 && v2.getAs[Double]("jaccard_exact") == 1.0)
+  }
+
   test("Substring: slice+boilerplate detected; boilerplate-only pair rejected") {
     val cfg = EngineConfig.default.copy(substringDfCap = 3)
     val rnd = new java.util.SplittableRandom(13)
