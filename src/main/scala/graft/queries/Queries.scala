@@ -101,11 +101,15 @@ object Queries {
         .orderBy("o_custkey")
     }),
 
-    // W6 dense new-id namespacing
+    // W6 dense new-id namespacing — through the scale-safe two-phase form
+    // (range partition + per-partition offsets, Golden.denseIds), NOT the
+    // single-partition `dense_rank().over(Window.orderBy(...))` the survey
+    // warns against (§7.5.5). Same total order, same result.
     "q08_dense_ids" -> ((s, dir) => {
-      t(s, dir, "supplier")
-        .withColumn("new_id",
-          dense_rank().over(Window.orderBy("s_name")) + lit(1000000L))
+      val sup = t(s, dir, "supplier")
+      val ids = graft.stages.Golden.denseIds(s, sup, "s_name", 1000000L)
+      sup.select(col("s_suppkey"), col("s_name"))
+        .join(ids, "s_name")
         .select(col("s_suppkey"), col("new_id"))
         .orderBy("s_suppkey")
     }),
@@ -319,12 +323,14 @@ object Queries {
     }),
 
     // F4/F5 phonetic + fuzzy comparison surface (no DuckDB dmetaphone →
-    // rows-only; unit specs pin the values)
+    // rows-only; unit specs pin the values). dm_codes is emitted as a
+    // '|'-joined string: the driver's rows-only check sorts columns with
+    // pandas, which cannot sort raw arrays.
     "q29_phonetic" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "customer")
         .select(col("c_custkey"),
-          GraftFunctions.dmetaphone(col("c_mktsegment")).as("dm_codes"),
+          concat_ws("|", GraftFunctions.dmetaphone(col("c_mktsegment"))).as("dm_codes"),
           GraftFunctions.jaroWinkler(col("c_name"), col("c_mktsegment")).as("jw"))
         .orderBy("c_custkey")
     }),
@@ -350,8 +356,16 @@ object Queries {
     })
   )
 
+  /** Grams occurring in more documents than this carry no pair evidence
+    * (boilerplate): the self-join on a hot gram is quadratic in its df, so
+    * an uncapped gram at web scale is the "michael b" block all over again.
+    * 100 is well above the testdata maximum (7 at sf0.01, 25 at sf0.1), so
+    * the cap binds nothing at oracle scale — the DuckDB CTE applies the
+    * identical cap so both engines stay in lockstep if it ever does. */
+  private val TrigramDfCap = 100
+
   /** Exact token-trigram candidate pairs at Jaccard ≥ 0.8 (integer-exact
-    * filter: 5*inter >= 4*union). Shared by q14/q20/q21. */
+    * filter: 5*inter >= 4*union). Shared by q14/q20/q21/q32. */
   private def trigramPairsFull(s: SparkSession, dir: String): DataFrame = {
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -361,8 +375,11 @@ object Queries {
         .as("g"))
       .distinct()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val l = grams.select(col("doc_id").as("doc_id_l"), col("g"))
-    val r = grams.select(col("doc_id").as("doc_id_r"), col("g"))
+    val hotGrams = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > TrigramDfCap).select("g")
+    val kept = grams.join(hotGrams, Seq("g"), "left_anti")
+    val l = kept.select(col("doc_id").as("doc_id_l"), col("g"))
+    val r = kept.select(col("doc_id").as("doc_id_r"), col("g"))
     l.join(r, Seq("g")).filter(col("doc_id_l") < col("doc_id_r"))
       .groupBy("doc_id_l", "doc_id_r").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_id_l"), col("n").as("size_l")), "doc_id_l")
@@ -376,12 +393,16 @@ object Queries {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** Shared DuckDB CTE prefix for the trigram-pair queries. */
+  /** Shared DuckDB CTE prefix for the trigram-pair queries. The df cap on
+    * grams mirrors [[TrigramDfCap]] exactly — both engines drop the same
+    * boilerplate grams. */
   private val TrigramCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |grams0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
       |          FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams0 GROUP BY doc_id),
+      |grams AS (SELECT * FROM grams0 WHERE g NOT IN (
+      |          SELECT g FROM grams0 GROUP BY g HAVING count(*) > 100)),
       |ipairs AS (SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r, count(*) AS inter
       |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |jpairs AS (SELECT p.doc_id_l, p.doc_id_r, p.inter, sa.n AS size_l, sb.n AS size_r

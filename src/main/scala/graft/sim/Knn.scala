@@ -64,18 +64,27 @@ object Knn {
     * scale path besides hyperplane LSH: at 10^12 vectors the centroid set
     * stays driver-small (trained offline in production; here seeded by
     * hash order for determinism), assignment is a narrow map, and search
-    * touches only nProbe cells instead of the full table. */
-  def ivfTop1(spark: SparkSession, embeddings: DataFrame, k: Int = 16,
+    * touches only nProbe cells instead of the full table.
+    *
+    * Centroid selection is distributed: only the k chosen vectors ever
+    * reach the driver (orderBy a mixed hash of the id + limit(k) — a
+    * distributed top-k takeOrdered, NOT a full-table collect). k scales
+    * ~sqrt(n) so cells stay ~sqrt(n)-sized and the within-cell compare is
+    * O(n^1.5 / nProbe) total, not n^2/k for a fixed k. */
+  def ivfTop1(spark: SparkSession, embeddings: DataFrame, k: Int = 0,
               nProbe: Int = 2, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
     import spark.implicits._
-    // deterministic centroid sample: the k vectors with smallest mixed id
+    val kEff =
+      if (k > 0) k
+      else math.max(16, math.sqrt(embeddings.count().toDouble).toInt)
     val cents = embeddings
       .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(kEff)
       .as[(Long, Array[Float])]
       .collect()
       .sortBy { case (id, _) => Hashing.mix64(id ^ seed) }
-      .take(k)
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
     val centsB = spark.sparkContext.broadcast(cents)
 

@@ -91,17 +91,34 @@ object PairGen {
 
   def pairs(buckets: DataFrame, allPairsCap: Int = AllPairsCap,
             dropHotAbove: Option[Int] = None): DataFrame = {
-    val counts = buckets.groupBy("key").agg(count(lit(1)).as("__cnt")).persist()
-    val bigKeys = counts.filter(col("__cnt") > allPairsCap) // hot + dropped
-    if (bigKeys.count() > BroadcastKeyLimit)
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    // Any key NOT taking the all-pairs path: cnt > allPairsCap (chain or
+    // dropped) OR cnt > dropHotAbove (dropped). Using the MIN of the two
+    // caps here keeps this plan's key partition identical to
+    // pairsWindowed's (kept = cnt <= dropHotAbove; small = cnt <=
+    // allPairsCap) — the two plans must produce the same edge set for the
+    // same input (determinism guarantee), including when dropHotAbove <
+    // allPairsCap (df-pruning tighter than the all-pairs cap).
+    val bigThreshold = math.min(allPairsCap, dropHotAbove.getOrElse(Int.MaxValue))
+    // One bounded collect (≤ limit+1 rows of (key, cnt)): big keys each hold
+    // > bigThreshold members, so there are at most rows/bigThreshold of them;
+    // if even that exceeds the broadcast limit, fall back to the window plan.
+    val bigArr = buckets.groupBy("key").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > bigThreshold)
+      .limit(BroadcastKeyLimit.toInt + 1)
+      .as[(Long, Long)].collect()
+    if (bigArr.length > BroadcastKeyLimit)
       return pairsWindowed(buckets, allPairsCap, dropHotAbove)
-    val hotKeys = dropHotAbove match {
-      case Some(cap) => bigKeys.filter(col("__cnt") <= cap).select("key")
-      case None => bigKeys.select("key")
+    val hotArr = dropHotAbove match {
+      case Some(cap) => bigArr.collect { case (k, c) if c > allPairsCap && c <= cap => k }
+      case None => bigArr.map(_._1)
     }
+    val bigKeys = spark.createDataset(bigArr.map(_._1)).toDF("key")
+    val hotKeys = spark.createDataset(hotArr.toSeq).toDF("key")
 
     val smallPairs = buckets
-      .join(broadcast(bigKeys.select("key")), Seq("key"), "left_anti")
+      .join(broadcast(bigKeys), Seq("key"), "left_anti")
       .groupBy("key").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each

@@ -17,13 +17,15 @@ object StreamingDedup {
 
   /** Exact-dup suppression on a stream of pages: watermark on crawl time,
     * keep the first row per content hash within the watermark horizon.
-    * `dropDuplicates` with a watermark is the built-in bounded-state form.
-    */
+    * `dropDuplicatesWithinWatermark` is the built-in bounded-state form —
+    * plain `dropDuplicates` on a non-event-time key would never evict its
+    * state (the watermark only bounds state when the event-time column is
+    * part of the dedup key), growing without bound on an infinite crawl. */
   def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
     pages
       .withColumn("content_hash", xxhash64(col("text")))
       .withWatermark("warc_ts", watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Tumbling-window ingest metrics (docs + distinct-ish content per window
     * per lang) — the streaming analog of the A8/A9 reporting aggregates. */

@@ -49,16 +49,21 @@ class PlanQualitySpec extends SparkSpec {
     df.collect() // force execution: the generated static calls must compile
   }
 
-  test("PairGen small-bucket path: groupBy reuses the aggregate exchange (one wide shuffle)") {
+  test("PairGen small-bucket path: bounded shuffles, no cache leak") {
     import spark.implicits._
     val buckets = (1L to 100L).map(i => (i % 10, i, i)).toDF("key", "id", "sort")
     val p = plan(stages.PairGen.pairs(buckets))
-    // budget: counts agg (computed once, then CACHED — its InMemoryRelation
-    // embeds the original exchange in the plan TEXT twice, once per branch,
-    // without re-executing it), list agg, hot-side window
+    // the big-key count runs as its own bounded-collect job at build time;
+    // the returned plan is just list-agg + hot-side window, each one shuffle
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 6, s"too many shuffles ($exchanges):\n$p")
-    assert("InMemoryRelation".r.findAllIn(p).nonEmpty,
-      "counts must be cached (single computation)")
+    assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      "PairGen must not leave cached partitions behind (session cache leak)")
+  }
+
+  test("q08 dense ids avoid the single-partition global window (W6 hazard)") {
+    val p = plan(queries.Queries.queries("q08_dense_ids")(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"dense-id path must stay distributed:\n$p")
   }
 }

@@ -50,6 +50,33 @@ class StagesSpec extends SparkSpec {
     assert(pairs.length == 1)
   }
 
+  test("PairGen: main and windowed plans agree when dropHotAbove < allPairsCap") {
+    // the df band (dropHotAbove, allPairsCap] must be DROPPED by both plans:
+    // a fingerprint with df 51-64 is boilerplate under the df cap even
+    // though it would fit the all-pairs cap
+    val buckets = ((1L to 55L).map(i => (10L, i, i)) ++   // in the band → drop
+      (1L to 80L).map(i => (20L, 100L + i, i)) ++          // above both → drop
+      (1L to 5L).map(i => (30L, 200L + i, i)))             // small → all-pairs
+      .toDF("key", "id", "sort")
+    val main = PairGen.pairs(buckets, 64, dropHotAbove = Some(50))
+      .as[(Long, Long, Long)].collect().toSet
+    val windowed = PairGen.pairsWindowed(buckets, 64, dropHotAbove = Some(50))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(main == windowed, s"plan divergence: ${main.diff(windowed)} vs ${windowed.diff(main)}")
+    assert(main.forall(_._3 == 30L) && main.size == 10)
+
+    // and with dropHotAbove > allPairsCap: (allPairsCap, cap] chains, > cap drops
+    val buckets2 = ((1L to 70L).map(i => (40L, i, i)) ++   // chain (64 < 70 ≤ 100)
+      (1L to 120L).map(i => (50L, 300L + i, i)))           // drop (> 100)
+      .toDF("key", "id", "sort")
+    val main2 = PairGen.pairs(buckets2, 64, dropHotAbove = Some(100))
+      .as[(Long, Long, Long)].collect().toSet
+    val windowed2 = PairGen.pairsWindowed(buckets2, 64, dropHotAbove = Some(100))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(main2 == windowed2)
+    assert(main2.forall(_._3 == 40L) && main2.size == 69)
+  }
+
   test("Blocking: identical docs collide in all bands, candidates dedup across bands") {
     val cfg = EngineConfig.default
     val text = (1 to 200).map(i => s"tok$i").mkString(" ")
