@@ -24,6 +24,7 @@ object Pipeline {
   final case class Result(
       assignments: DataFrame, // (id, cluster_id) for every input doc
       edges: DataFrame,       // scored, thresholded
+      lineage: DataFrame,     // per-cluster-member gammas + match_type label
       metrics: DataFrame)     // per-stage counters
 
   /** Run over a doc table with columns (id:long, text:string, url, warc_ts,
@@ -43,11 +44,12 @@ object Pipeline {
     val scored = (if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
       else rawScored).persist()
     val simEdges = Scoring.edges(scored)
-    val allEdges =
-      (if (substringPass)
-        simEdges.unionByName(
-          Substring.edges(survivors, cfg).select("src", "dst"))
-      else simEdges).persist()
+    val subEdges =
+      if (substringPass) Substring.edges(survivors, cfg)
+      else spark.emptyDataFrame
+        .withColumn("src", lit(0L)).withColumn("dst", lit(0L))
+        .withColumn("shared_fps", lit(0L)).limit(0)
+    val allEdges = simEdges.unionByName(subEdges.select("src", "dst")).persist()
 
     // cluster survivors; holdouts re-attach via master (J4 semantics:
     // cluster of master, falling back to own master id,
@@ -61,6 +63,22 @@ object Pipeline {
         coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
     val assignments = survivorAssign.unionByName(holdoutAssign)
 
+    // cluster-row lineage (the reference's main human-facing table,
+    // person_1/link_model_per.py:1064-1129 + :1219-1262): gammas of the
+    // direct edge to the master merged onto every member row + match-type
+    // label. Substring edges lacking signature gammas join as
+    // reason="substring" (anti-joined so a pair found by both passes keeps
+    // its scored gammas).
+    val scoredDirect = scored.filter(col("level") >= 1)
+      .select("id_l", "id_r", "jaccard_est", "hamming", "level", "reason")
+    val subDirect = subEdges.select(col("src").as("id_l"), col("dst").as("id_r"))
+      .join(scoredDirect.select("id_l", "id_r"), Seq("id_l", "id_r"), "left_anti")
+      .select(col("id_l"), col("id_r"),
+        lit(null).cast("double").as("jaccard_est"), lit(null).cast("int").as("hamming"),
+        lit(1).as("level"), lit("substring").as("reason"))
+    val lineage = Lineage.clusterRows(
+      assignments, scoredDirect.unionByName(subDirect), holdouts.select("id"))
+
     val metrics = stageMetrics(spark, Map(
       "input_docs" -> input.count(),
       "exact_holdouts" -> holdouts.count(),
@@ -68,7 +86,7 @@ object Pipeline {
       "edges" -> allEdges.count(),
       "clusters" -> assignments.agg(countDistinct("cluster_id")).head().getLong(0)))
 
-    Result(assignments, scored.filter(col("level") >= 1), metrics)
+    Result(assignments, scored.filter(col("level") >= 1), lineage, metrics)
   }
 
   /** Pipeline without the metrics actions — returns lazy assignments only

@@ -335,6 +335,33 @@ object Queries {
         .orderBy("c_custkey")
     }),
 
+    // J5/F18/§2.9 cluster-row lineage: gammas of the direct edge to the
+    // cluster master merged onto every member row, association-match labels
+    // for transitively-connected members, per-level description mapping —
+    // the reference's main human-facing output
+    // (person_1/link_model_per.py:1064-1129, :1137-1213, :1219-1262).
+    // "Association match (Exact)" needs exact-dup holdouts (none exist in
+    // the documents testdata) — that class is pinned by LineageSpec.
+    "q32_cluster_lineage" -> ((s, dir) => {
+      val pairs = trigramPairsFull(s, dir)
+      val strong = col("inter") * 10 >= (col("size_l") + col("size_r") - col("inter")) * 9
+      val edges = pairs.select(
+        col("doc_id_l").as("id_l"), col("doc_id_r").as("id_r"),
+        col("inter"), when(strong, 2).otherwise(1).as("level"))
+      val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
+      val assign = ConnectedComponents.assign(s, ids,
+        pairs.select(col("doc_id_l").as("src"), col("doc_id_r").as("dst")))
+      val descs = Map(2 -> "Strong Jaccard (>= 0.9)", 1 -> "Jaccard >= 0.8")
+      graft.stages.Lineage.clusterRows(assign, edges, ids.limit(0),
+          gammaCols = Seq("inter", "level"))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          coalesce(col("inter"), lit(-1L)).as("direct_inter"),
+          coalesce(col("level"), lit(-1)).as("gamma"),
+          graft.stages.Lineage.desc(col("level"), descs, "No direct comparison").as("gamma_desc"),
+          col("match_type"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing end-to-end: binary payloads → batch decode →
     // frame sampling counts (stub codec, real plumbing; rows-only)
     "q30_multimodal" -> ((s, dir) => {
@@ -518,6 +545,28 @@ object Queries {
          |clus AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
          |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
          |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+    "q32_cluster_lineage" ->
+      s"""WITH RECURSIVE $TrigramCte,
+         |bidir AS (SELECT doc_id_l AS l, doc_id_r AS r FROM jpairs
+         |          UNION SELECT doc_id_r, doc_id_l FROM jpairs),
+         |reach AS (SELECT l AS a, r AS b FROM bidir
+         |          UNION SELECT reach.a, bidir.r FROM reach JOIN bidir ON reach.b = bidir.l),
+         |clus AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         |SELECT c.doc_id, c.cluster_id,
+         |coalesce(p.inter, -1) AS direct_inter,
+         |CASE WHEN p.inter IS NULL THEN -1
+         |     WHEN p.inter * 10 >= 9 * (p.size_l + p.size_r - p.inter) THEN 2
+         |     ELSE 1 END AS gamma,
+         |CASE WHEN p.inter IS NULL THEN 'No direct comparison'
+         |     WHEN p.inter * 10 >= 9 * (p.size_l + p.size_r - p.inter) THEN 'Strong Jaccard (>= 0.9)'
+         |     ELSE 'Jaccard >= 0.8' END AS gamma_desc,
+         |CASE WHEN c.doc_id = c.cluster_id THEN 'Self'
+         |     WHEN p.inter IS NOT NULL THEN 'Direct match'
+         |     ELSE 'Association match' END AS match_type
+         |FROM clus c LEFT JOIN jpairs p
+         |  ON p.doc_id_l = c.cluster_id AND p.doc_id_r = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q25_cosine_top1" ->
       """SELECT vec_id, arg_max(nid, cos) AS nn_id FROM (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nid,
