@@ -55,7 +55,8 @@ object Pipeline {
     // cluster of master, falling back to own master id,
     // person_1/link_model_per.py:950-953)
     val survivorAssign = ConnectedComponents.assign(
-      spark, survivors.select("id"), allEdges, cfg.maxCcIterations)
+      spark, survivors.select("id"), allEdges, cfg.maxCcIterations,
+      cfg.reliableCheckpoints)
     val holdoutAssign = holdouts
       .join(survivorAssign.withColumnRenamed("id", "__sid"),
         holdouts("master_id") === col("__sid"), "left")
@@ -106,7 +107,8 @@ object Pipeline {
         simEdges.unionByName(Substring.edges(survivors, cfg).select("src", "dst"))
       else simEdges
     val survivorAssign = ConnectedComponents.assign(
-      spark, survivors.select("id"), allEdges, cfg.maxCcIterations)
+      spark, survivors.select("id"), allEdges, cfg.maxCcIterations,
+      cfg.reliableCheckpoints)
     val holdoutAssign = holdouts
       .join(survivorAssign.withColumnRenamed("id", "__sid"),
         holdouts("master_id") === col("__sid"), "left")
@@ -152,7 +154,7 @@ object Pipeline {
     }
     withLineage("assignments") {
       val sa = ConnectedComponents.assign(spark, survivors.select("id"), edges,
-        cfg.maxCcIterations)
+        cfg.maxCcIterations, cfg.reliableCheckpoints)
       val ha = holdouts
         .join(sa.withColumnRenamed("id", "__sid"),
           holdouts("master_id") === col("__sid"), "left")

@@ -88,7 +88,15 @@ final case class EngineConfig(
     // semantics); larger ones get O(n) sorted-chain pairing (skew control,
     // SURVEY §4 "Skew detection") — nothing is dropped
     allPairsCap: Int = 64,
-    maxCcIterations: Int = 50) {
+    maxCcIterations: Int = 50,
+    // cut CC lineage with reliable checkpoint() (needs a checkpoint dir:
+    // HDFS/S3 in production) instead of executor-local blocks — survives
+    // executor loss at real cluster scale; identical assignments either way
+    reliableCheckpoints: Boolean = false,
+    // df-weighted exact similarity (≙ reference term_frequency_adjustments,
+    // person_1/link_model_per.py:614-651): weight each shingle by
+    // log(nDocs/df) so boilerplate overlap scores below content overlap
+    tfWeighting: Boolean = false) {
   require(bands * rowsPerBand == numPerms, "bands*rowsPerBand must equal numPerms")
 }
 

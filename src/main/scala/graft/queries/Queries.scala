@@ -362,6 +362,17 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // W8 ordered string aggregation (STRING_AGG WITHIN GROUP analog,
+    // person_1/link_model_per.py:1591-1665) + first-token extract
+    "q33_ordered_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").cast("string").as("okey"))
+      graft.stages.Golden.orderedStringAgg(o, "o_custkey", "okey", "o_orderdate")
+        .withColumn("latest_okey", split(col("okey_agg"), ", ").getItem(0))
+        .orderBy("o_custkey")
+    }),
+
     // multimodal plumbing end-to-end: binary payloads → batch decode →
     // frame sampling counts (stub codec, real plumbing; rows-only)
     "q30_multimodal" -> ((s, dir) => {
@@ -545,6 +556,13 @@ object Queries {
          |clus AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
          |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
          |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+    "q33_ordered_agg" ->
+      """SELECT o_custkey,
+        |string_agg(CAST(o_orderkey AS VARCHAR), ', '
+        |  ORDER BY o_orderdate DESC, CAST(o_orderkey AS VARCHAR) DESC) AS okey_agg,
+        |string_split(string_agg(CAST(o_orderkey AS VARCHAR), ', '
+        |  ORDER BY o_orderdate DESC, CAST(o_orderkey AS VARCHAR) DESC), ', ')[1] AS latest_okey
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q32_cluster_lineage" ->
       s"""WITH RECURSIVE $TrigramCte,
          |bidir AS (SELECT doc_id_l AS l, doc_id_r AS r FROM jpairs

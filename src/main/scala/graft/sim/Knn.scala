@@ -27,18 +27,29 @@ object Knn {
 
   /** LSH-bucketed top-1 neighbour: bucket by hyperplane sign bits, compare
     * only within buckets. Vectors whose bucket is a singleton get nn_id -1
-    * (honest "not found" — a production caller would multi-probe). */
+    * (honest "not found" — a production caller would multi-probe).
+    *
+    * Skew control (same problem PairGen solves for text): an uncapped
+    * within-bucket self-join is quadratic in bucket size, so one hot bucket
+    * (near-identical boilerplate embeddings) dominates the job at scale.
+    * Buckets ≤ bucketCap keep the exact all-pairs compare; hot buckets are
+    * ordered by a secondary hyperplane projection (a continuous LSH value —
+    * near vectors get near projections, so true neighbours sort adjacently)
+    * and each member compares only with the next chainWidth members:
+    * O(n·chainWidth) pairs per hot bucket, nothing dropped from coverage. */
   def lshTop1(spark: SparkSession, embeddings: DataFrame, cfg: EngineConfig,
-              bits: Int = 8): DataFrame = {
+              bits: Int = 8, bucketCap: Int = 256, chainWidth: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, bits, cfg.seed)
+    // bits sign planes + 1 extra plane for the hot-bucket ordering
+    val planes = hyperplanes(dim, bits + 1, cfg.seed)
     val planesB = spark.sparkContext.broadcast(planes)
     val bucketUdf = udf((v: Seq[Float]) => {
       val ps = planesB.value
       var b = 0
       var i = 0
-      while (i < ps.length) {
+      while (i < bits) {
         var dot = 0.0
         var j = 0
         while (j < v.length) { dot += ps(i)(j) * v(j); j += 1 }
@@ -47,11 +58,43 @@ object Knn {
       }
       b
     })
+    val projUdf = udf((v: Seq[Float]) => {
+      val p = planesB.value(bits)
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += p(j) * v(j); j += 1 }
+      dot
+    })
     val bucketed = embeddings
       .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id"), col("embedding"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("emb_b"))
-    val within = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nid"))
+    // hot-bucket key set is tiny by construction (each holds > bucketCap
+    // members ⇒ ≤ n/bucketCap keys) — broadcast-safe
+    val hotBuckets = bucketed.groupBy("bucket").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > bucketCap).select("bucket")
+
+    val cold = bucketed.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
+    val coldPairs = cold
+      .join(cold.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("emb_b")),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select("vec_id", "embedding", "nid", "emb_b")
+
+    val hot = bucketed.join(broadcast(hotBuckets), Seq("bucket"), "left_semi")
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("bucket").orderBy(projUdf(col("embedding")), col("vec_id"))))
+    val hotChain = hot
+      .withColumn("__off", explode(lit((1 to chainWidth).toArray)))
+      .withColumn("__rank2", col("__rank") + col("__off"))
+      .join(hot.select(col("bucket"), col("__rank").as("__rank2"),
+          col("vec_id").as("nid"), col("embedding").as("emb_b")),
+        Seq("bucket", "__rank2"))
+      .select(col("vec_id"), col("embedding"), col("nid"), col("emb_b"))
+    // each chained pair is candidate evidence for BOTH endpoints
+    val hotPairs = hotChain.unionByName(hotChain.select(
+      col("nid").as("vec_id"), col("emb_b").as("embedding"),
+      col("vec_id").as("nid"), col("embedding").as("emb_b")))
+
+    val within = coldPairs.unionByName(hotPairs)
       .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
       .groupBy("vec_id").agg(max_by(col("nid"), col("cos")).as("nn_id"))
     bucketed.select("vec_id")

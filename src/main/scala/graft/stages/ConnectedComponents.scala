@@ -21,10 +21,23 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** @param edges columns src:long, dst:long (undirected, any orientation)
+    * @param reliableCheckpoint cut lineage with a RELIABLE `checkpoint()`
+    *        (requires `spark.sparkContext.setCheckpointDir`) instead of
+    *        `localCheckpoint`. localCheckpoint stores blocks in executor
+    *        memory/disk and loses them on executor failure — fine on
+    *        local[N], wrong on a 1000-executor cluster where a lost
+    *        executor mid-iteration would fail the whole job; production
+    *        runs set a checkpoint dir (HDFS/S3) and this flag. Falls back
+    *        to localCheckpoint when no dir is set. Both paths produce
+    *        identical assignments (spec-pinned).
     * @return (id, cluster_id) for every id appearing in `edges`. Callers
     *         union singletons (ids without edges) with cluster_id = id. */
-  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 50,
+          reliableCheckpoint: Boolean = false): DataFrame = {
     import spark.implicits._
+    val useReliable = reliableCheckpoint && spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint(true) else df.localCheckpoint(true)
 
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
@@ -59,12 +72,11 @@ object ConnectedComponents {
       // m = min of its smaller neighbourhood ∪ itself; connect the rest to m.
       val sMins = large.groupBy("src").agg(min($"dst").as("m"))
       val joined = large.join(sMins, "src")
-      val small = joined.filter($"dst" =!= $"m")
+      val small = cut(joined.filter($"dst" =!= $"m")
         .select($"dst".as("src"), $"m".as("dst"))
         .unionAll(sMins.select($"src", $"m".as("dst")))
         .filter($"src" =!= $"dst")
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
 
       // convergence signature: summands bounded by 2^32 so the ANSI-mode
       // sum cannot overflow below ~2^31 edges per partition-set
@@ -95,8 +107,8 @@ object ConnectedComponents {
     * Splink semantics: "output one row per input record"
     * (person_1/link_model_per.py:830-837). */
   def assign(spark: SparkSession, docIds: DataFrame, edges: DataFrame,
-             maxIterations: Int = 50): DataFrame = {
-    val cc = run(spark, edges, maxIterations)
+             maxIterations: Int = 50, reliableCheckpoint: Boolean = false): DataFrame = {
+    val cc = run(spark, edges, maxIterations, reliableCheckpoint)
     docIds.select(col("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

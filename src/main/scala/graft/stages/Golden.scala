@@ -69,6 +69,21 @@ object Golden {
       .select(col(keyCol), col("new_id"))
   }
 
+  /** Ordered string aggregation (W8, the reference's alternative
+    * golden-record form: `STRING_AGG(col, ', ') WITHIN GROUP (ORDER BY
+    * last_updated DESC)` + first-token extract,
+    * `person_1/link_model_per.py:1591-1665`): collect (order, value)
+    * structs, sort, reverse, join — one hash-aggregate shuffle, no window.
+    * Ties on the order column break by value descending (total order ⇒
+    * deterministic, reference invariant §1.4.4). */
+  def orderedStringAgg(df: DataFrame, keyCol: String, valCol: String,
+                       orderCol: String, sep: String = ", "): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(array_join(
+        expr(s"transform(reverse(array_sort(collect_list(struct($orderCol as o, $valCol as v)))), x -> x.v)"),
+        sep).as(s"${valCol}_agg"))
+
   /** Lineage lookup old_id → (cluster_id, new_id, is_master) — the engine's
     * `DO_NOT_MIGRATE_*_lookup` analog (`person_1/person.py:281`). */
   def lookupTable(assignments: DataFrame, newIds: DataFrame): DataFrame =

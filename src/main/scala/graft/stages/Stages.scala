@@ -256,17 +256,68 @@ object Scoring {
     val touched = docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol),
         GraftFunctions.shingleHashes(col(textCol), cfg.shingleK).as("__sh"))
-    val verified = cand
+    val withExact = cand
       .join(touched.select(col(idCol).as("id_l"), col("__sh").as("__sh_l")), "id_l")
       .join(touched.select(col(idCol).as("id_r"), col("__sh").as("__sh_r")), "id_r")
       .withColumn("jaccard_exact", GraftFunctions.jaccardArrays(col("__sh_l"), col("__sh_r")))
+      .drop("__sh_l", "__sh_r")
+    // optional df-weighted gate (A1 full analog of the reference's
+    // term_frequency_adjustments, person_1/link_model_per.py:614-651):
+    // boilerplate overlap carries low idf weight, so a pair passing raw
+    // Jaccard on shared boilerplate alone is demoted
+    val gated =
+      if (cfg.tfWeighting)
+        withExact.join(
+          tfWeightedScores(cand.select("id_l", "id_r"), docs, cfg, idCol, textCol),
+          Seq("id_l", "id_r"), "left")
+      else withExact.withColumn("jaccard_tf", lit(null).cast("double"))
+    val gate = if (cfg.tfWeighting) col("jaccard_tf") else col("jaccard_exact")
+    val verified = gated
       .withColumn("level",
-        when(col("level") === 2 && col("jaccard_exact") < cfg.jaccardThreshold,
+        when(col("level") === 2 && gate < cfg.jaccardThreshold,
           when(col("hamming") <= cfg.hammingThreshold, 1).otherwise(0))
           .otherwise(col("level")))
-      .drop("__sh_l", "__sh_r")
     verified.unionByName(
-      scored.filter(col("level") < 1).withColumn("jaccard_exact", lit(null).cast("double")))
+      scored.filter(col("level") < 1)
+        .withColumn("jaccard_exact", lit(null).cast("double"))
+        .withColumn("jaccard_tf", lit(null).cast("double")))
+  }
+
+  /** df-weighted Jaccard per candidate pair (A1 full analog, ≙
+    * `term_frequency_adjustments=True` modifying the match weight,
+    * `person_1/link_model_per.py:614-651`): each shingle weighs
+    * idf = ln((nDocs+1)/df), so shared boilerplate (df ≈ nDocs, idf ≈ 0)
+    * contributes almost nothing while rare content dominates.
+    * weighted J = Σ idf(intersection) / Σ idf(union).
+    *
+    * Plan shape: the df table is a full-corpus groupBy (map-side
+    * combinable — the TF-table aggregate A1); per-pair sums touch only
+    * candidate docs (semi-join restriction, same staging as exactVerify). */
+  def tfWeightedScores(pairs: DataFrame, docs: DataFrame, cfg: EngineConfig,
+                       idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count()
+    // shingleHashes emits distinct hashes per doc, so (doc, sh) is distinct
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(GraftFunctions.shingleHashes(col(textCol), cfg.shingleK)).as("sh"))
+    val idf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nDocs.toDouble + 1.0) / col("df")))
+    val ids = pairs.select(explode(array(col("id_l"), col("id_r"))).as("__id")).distinct()
+    val touched = sh.join(ids, Seq("__id"), "left_semi")
+      .join(idf.select("sh", "idf"), "sh")
+    val docSum = touched.groupBy("__id").agg(sum("idf").as("w_total"))
+    val interW = pairs.select("id_l", "id_r")
+      .join(touched.select(col("__id").as("id_l"), col("sh"), col("idf")), Seq("id_l"))
+      .join(touched.select(col("__id").as("id_r"), col("sh")), Seq("id_r", "sh"), "left_semi")
+      .groupBy("id_l", "id_r").agg(sum("idf").as("w_inter"))
+    pairs.select("id_l", "id_r")
+      .join(interW, Seq("id_l", "id_r"), "left")
+      .join(docSum.select(col("__id").as("id_l"), col("w_total").as("w_l")), Seq("id_l"), "left")
+      .join(docSum.select(col("__id").as("id_r"), col("w_total").as("w_r")), Seq("id_r"), "left")
+      .select(col("id_l"), col("id_r"), {
+        val inter = coalesce(col("w_inter"), lit(0.0))
+        val union = coalesce(col("w_l"), lit(0.0)) + coalesce(col("w_r"), lit(0.0)) - inter
+        when(union > 0, inter / union).otherwise(lit(0.0)).as("jaccard_tf")
+      })
   }
 }
 

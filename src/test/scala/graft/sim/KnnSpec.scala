@@ -49,6 +49,22 @@ class KnnSpec extends SparkSpec {
     assert(hit.toDouble / total >= 0.9, s"IVF cluster recall ${hit.toDouble / total}")
   }
 
+  test("LSH top-1 hot-bucket chain path keeps cluster recall with bounded pairs") {
+    val emb = clustered.select("vec_id", "embedding")
+    // cap of 8 forces EVERY 40-member center bucket onto the chain path
+    val capped = Knn.lshTop1(spark, emb, EngineConfig.default, bucketCap = 8, chainWidth = 4)
+    assert(capped.count() == 400)
+    val joined = capped.filter(col("nn_id") >= 0)
+      .join(clustered.select(col("vec_id"), col("label").as("l_q")), "vec_id")
+      .join(clustered.select(col("vec_id").as("nn_id"), col("label").as("l_n")), "nn_id")
+    val (same, total) = joined
+      .agg(sum((col("l_q") === col("l_n")).cast("long")), count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(total >= 390, s"capped path must still answer (answered $total)")
+    assert(same.toDouble / total >= 0.95,
+      s"chain ordering by secondary projection must keep cluster recall (${same.toDouble / total})")
+  }
+
   test("LSH top-1 is deterministic and covers every vector") {
     val emb = clustered.select("vec_id", "embedding")
     val a = Knn.lshTop1(spark, emb, EngineConfig.default).orderBy("vec_id")

@@ -59,6 +59,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpoint path produces identical assignments (flag toggle)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val rnd = new java.util.SplittableRandom(29)
+    val edges = (1 to 150).map(_ => (rnd.nextLong(80), rnd.nextLong(80)))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val local = ConnectedComponents.run(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    val reliable = ConnectedComponents.run(spark, edges, reliableCheckpoint = true)
+      .as[(Long, Long)].collect().toMap
+    assert(local == reliable)
+    // and the reliable run actually wrote checkpoint data
+    val wrote = new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty
+    assert(wrote, "reliable path must write to the checkpoint dir")
+  }
+
   test("assign: singletons keep their own id") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("src", "dst")

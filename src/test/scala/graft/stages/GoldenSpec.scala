@@ -42,6 +42,19 @@ class GoldenSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("orderedStringAgg: recency-descending concat, deterministic on ties (W8)") {
+    val df = Seq(
+      (1L, "a", 3), (1L, "b", 1), (1L, "c", 2),
+      (2L, "x", 5), (2L, null.asInstanceOf[String], 9), // null values dropped
+      (3L, "t1", 7), (3L, "t2", 7)                      // tie → value desc
+    ).toDF("cluster_id", "v", "upd")
+    val got = Golden.orderedStringAgg(df, "cluster_id", "v", "upd")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a, c, b")
+    assert(got(2L) == "x")
+    assert(got(3L) == "t2, t1")
+  }
+
   test("lookupTable: is_master flag and new_id propagation") {
     val assigns = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "cluster_id")
     val newIds = Seq((1L, 1000001L), (5L, 1000002L)).toDF("cluster_id", "new_id")
