@@ -207,7 +207,14 @@ object GraftFunctions {
     case o => o.toString.toLong
   }
 
+  /** Idempotent per-session: repeated calls (every query entry registers)
+    * must not re-register — the replace WARNs pollute driver-captured logs
+    * and registration mutates shared session state. */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSigExpr(es.head, litInt(es(1)), litInt(es(2)), litLong(es(3))), "scala_udf")

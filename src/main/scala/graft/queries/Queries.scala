@@ -373,6 +373,18 @@ object Queries {
         .orderBy("o_custkey")
     }),
 
+    // J6 case-restore update-join (person_1/link_model_per.py:1379-1399):
+    // the lookup's normalised (lowercased) column is overwritten with the
+    // original source value by id — Spark join form of the T-SQL UPDATE
+    "q34_case_restore" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val lookup = part.select(col("p_partkey"),
+        lower(col("p_name")).as("p_name"), col("p_brand"))
+      graft.stages.Golden.restoreOriginal(lookup, part, "p_partkey", Seq("p_name"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy("p_partkey")
+    }),
+
     // multimodal plumbing end-to-end: binary payloads → batch decode →
     // frame sampling counts (stub codec, real plumbing; rows-only)
     "q30_multimodal" -> ((s, dir) => {
@@ -556,6 +568,8 @@ object Queries {
          |clus AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
          |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
          |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+    "q34_case_restore" ->
+      """SELECT p_partkey, p_name, p_brand FROM part ORDER BY p_partkey""",
     "q33_ordered_agg" ->
       """SELECT o_custkey,
         |string_agg(CAST(o_orderkey AS VARCHAR), ', '

@@ -69,6 +69,20 @@ object Golden {
       .select(col(keyCol), col("new_id"))
   }
 
+  /** Case-restore update-join (J6 variant,
+    * `person_1/link_model_per.py:1379-1399`: `UPDATE c SET … FROM lookup c
+    * INNER JOIN person p ON c.id = p.id` restoring original-case names).
+    * The linking pipeline lowercases/cleans compared columns; the published
+    * lookup restores the ORIGINAL source values by id. Spark has no
+    * in-place UPDATE — the same semantics is a join producing a new table
+    * (broadcast-eligible when the restored projection is narrow). */
+  def restoreOriginal(lookup: DataFrame, source: DataFrame, idCol: String,
+                      restoreCols: Seq[String]): DataFrame = {
+    val src = source.select((idCol +: restoreCols).map(col): _*)
+    restoreCols.foldLeft(lookup)((df, c) => df.drop(c))
+      .join(src, Seq(idCol), "left")
+  }
+
   /** Ordered string aggregation (W8, the reference's alternative
     * golden-record form: `STRING_AGG(col, ', ') WITHIN GROUP (ORDER BY
     * last_updated DESC)` + first-token extract,

@@ -42,6 +42,18 @@ class GoldenSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("restoreOriginal: update-join restores source-cased values by id (J6)") {
+    val lookup = Seq((1L, "anna maria", 10L), (2L, "bob", 20L), (3L, "cee", 30L))
+      .toDF("id", "name", "cluster_id")
+    val source = Seq((1L, "Anna-Maria"), (2L, "BOB"), (3L, "Cee"))
+      .toDF("id", "name")
+    val got = Golden.restoreOriginal(lookup, source, "id", Seq("name"))
+      .select("id", "name", "cluster_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(Array(
+      (1L, "Anna-Maria", 10L), (2L, "BOB", 20L), (3L, "Cee", 30L))))
+  }
+
   test("orderedStringAgg: recency-descending concat, deterministic on ties (W8)") {
     val df = Seq(
       (1L, "a", 3), (1L, "b", 1), (1L, "c", 2),
