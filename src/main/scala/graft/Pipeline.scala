@@ -34,7 +34,7 @@ object Pipeline {
     GraftFunctions.register(spark)
     val input = docs.persist()
 
-    val (survivors, holdouts) = ExactDedup.split(input)
+    val (survivors, holdouts) = ExactDedup.split(input, persistRanked = true)
     val sigs = Signatures.withSignatures(survivors, cfg)
       .select("id", "minhash", "simhash")
       .persist()
@@ -95,8 +95,13 @@ object Pipeline {
   def runLite(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
               substringPass: Boolean = true): DataFrame = {
     GraftFunctions.register(spark)
-    val (survivors, holdouts) = ExactDedup.split(docs)
-    val sigs = Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash")
+    val (survivors, holdouts) = ExactDedup.split(docs, persistRanked = true)
+    // signatures feed bucket explosion AND both sides of the scoring join —
+    // 128-perm MinHash is the most expensive narrow transform in the
+    // pipeline, computed once, cached
+    val sigs = Signatures.withSignatures(survivors, cfg)
+      .select("id", "minhash", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = Blocking.candidatePairs(sigs, cfg)
     val rawScored = Scoring.score(candidates, sigs, cfg)
     val scored = if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)

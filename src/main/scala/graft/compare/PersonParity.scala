@@ -70,12 +70,24 @@ object PersonParity {
   }
 
   /** W6 namespaced dense ids: DENSE_RANK per entity type + range base
-    * (1M/2M/…), `person_2/fv_all_person_lookup.sql:32-109`. */
+    * (1M/2M/…), `person_2/fv_all_person_lookup.sql:32-109`.
+    *
+    * NOT the reference's literal
+    * `dense_rank().over(partitionBy(entity_type))` — with a handful of
+    * entity types that is one partition per type, i.e. the W6
+    * single-partition hazard (SURVEY §7.5.5) on whichever type dominates.
+    * Instead each type goes through the distributed two-phase dense-id
+    * form (range partition + per-partition offsets, [[graft.stages.Golden
+    * .denseIds]]) over its distinct cluster_ids and joins back: same total
+    * order, same ids, no single-partition window. */
   def namespacedIds(lookup: DataFrame, rangeBases: Map[String, Long]): DataFrame = {
-    val w = Window.partitionBy("entity_type").orderBy("cluster_id")
-    val baseExpr = rangeBases.foldLeft(lit(null: java.lang.Long).cast("long")) {
-      case (acc, (t, b)) => when(col("entity_type") === t, lit(b)).otherwise(acc)
-    }
-    lookup.withColumn("new_id", dense_rank().over(w).cast("long") - 1 + baseExpr)
+    val spark = lookup.sparkSession
+    val perType = rangeBases.toSeq.sortBy(_._1).map { case (t, b) =>
+      // denseIds emits base-1 + rank(1..n) = base, base+1, … per distinct key
+      graft.stages.Golden.denseIds(
+          spark, lookup.filter(col("entity_type") === t), "cluster_id", b - 1)
+        .withColumn("entity_type", lit(t))
+    }.reduce(_ unionByName _)
+    lookup.join(perType, Seq("entity_type", "cluster_id"), "left")
   }
 }

@@ -385,6 +385,20 @@ object Queries {
         .orderBy("p_partkey")
     }),
 
+    // engine-native cluster-row lineage from the full pipeline (rows-only:
+    // minhash-dependent); levels coalesced so the driver's pandas sort
+    // never sees nulls
+    "q35_pipeline_lineage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      graft.Pipeline.run(s, docs).lineage
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          coalesce(col("level"), lit(-1)).as("level"),
+          coalesce(col("reason"), lit("none")).as("reason"),
+          graft.stages.Lineage.levelDesc(col("level")).as("level_desc"),
+          col("match_type"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing end-to-end: binary payloads → batch decode →
     // frame sampling counts (stub codec, real plumbing; rows-only)
     "q30_multimodal" -> ((s, dir) => {

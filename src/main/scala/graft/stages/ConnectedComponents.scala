@@ -36,8 +36,12 @@ object ConnectedComponents {
           reliableCheckpoint: Boolean = false): DataFrame = {
     import spark.implicits._
     val useReliable = reliableCheckpoint && spark.sparkContext.getCheckpointDir.isDefined
+    // LAZY checkpoint: the per-iteration convergence-signature action
+    // materializes it, so each round costs ONE job instead of an eager
+    // checkpoint job plus the signature job — per-job scheduling is serial
+    // driver time, the enemy of N→4N scaling efficiency
     def cut(df: DataFrame): DataFrame =
-      if (useReliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (useReliable) df.checkpoint(false) else df.localCheckpoint(false)
 
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))

@@ -49,16 +49,19 @@ class PlanQualitySpec extends SparkSpec {
     df.collect() // force execution: the generated static calls must compile
   }
 
-  test("PairGen small-bucket path: bounded shuffles, no cache leak") {
+  test("PairGen small-bucket path: bounded shuffles, bucket cache shared by both branches") {
     import spark.implicits._
     val buckets = (1L to 100L).map(i => (i % 10, i, i)).toDF("key", "id", "sort")
     val p = plan(stages.PairGen.pairs(buckets))
-    // the big-key count runs as its own bounded-collect job at build time;
-    // the returned plan is just list-agg + hot-side window, each one shuffle
+    // the big-key count runs as its own bounded-collect job at build time
+    // and materializes the bucket cache; the returned plan reads that cache
+    // instead of re-running the explode upstream. (With zero hot keys the
+    // chain branch is pruned away entirely — PropagateEmptyRelation — so
+    // exactly one cache scan remains.)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$p")
-    assert(!p.contains("InMemoryRelation"),
-      "PairGen must not leave cached partitions behind (session cache leak)")
+    assert(p.contains("InMemoryTableScan"),
+      s"pair branches must read the shared bucket cache:\n$p")
   }
 
   test("q08 dense ids avoid the single-partition global window (W6 hazard)") {
