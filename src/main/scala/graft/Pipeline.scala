@@ -56,7 +56,7 @@ object Pipeline {
     // person_1/link_model_per.py:950-953)
     val survivorAssign = ConnectedComponents.assign(
       spark, survivors.select("id"), allEdges, cfg.maxCcIterations,
-      cfg.reliableCheckpoints)
+      cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges)
     val holdoutAssign = holdouts
       .join(survivorAssign.withColumnRenamed("id", "__sid"),
         holdouts("master_id") === col("__sid"), "left")
@@ -113,7 +113,7 @@ object Pipeline {
       else simEdges
     val survivorAssign = ConnectedComponents.assign(
       spark, survivors.select("id"), allEdges, cfg.maxCcIterations,
-      cfg.reliableCheckpoints)
+      cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges)
     val holdoutAssign = holdouts
       .join(survivorAssign.withColumnRenamed("id", "__sid"),
         holdouts("master_id") === col("__sid"), "left")
@@ -159,7 +159,7 @@ object Pipeline {
     }
     withLineage("assignments") {
       val sa = ConnectedComponents.assign(spark, survivors.select("id"), edges,
-        cfg.maxCcIterations, cfg.reliableCheckpoints)
+        cfg.maxCcIterations, cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges)
       val ha = holdouts
         .join(sa.withColumnRenamed("id", "__sid"),
           holdouts("master_id") === col("__sid"), "left")

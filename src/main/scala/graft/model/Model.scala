@@ -93,6 +93,11 @@ final case class EngineConfig(
     // HDFS/S3 in production) instead of executor-local blocks — survives
     // executor loss at real cluster scale; identical assignments either way
     reliableCheckpoints: Boolean = false,
+    // adaptive CC plan choice: edge sets ≤ this run driver union-find
+    // (the distributed loop is 4-6 rounds of pure serial scheduling time
+    // on a graph this small); larger sets run large-star/small-star.
+    // 0 forces the distributed path. Identical output (spec-pinned).
+    ccFastPathMaxEdges: Long = 4000000L,
     // df-weighted exact similarity (≙ reference term_frequency_adjustments,
     // person_1/link_model_per.py:614-651): weight each shingle by
     // log(nDocs/df) so boilerplate overlap scores below content overlap

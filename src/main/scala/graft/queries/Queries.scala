@@ -306,6 +306,17 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // embedding-cosine near-dup dedup: multi-table hyperplane-LSH
+    // candidates → exact cosine ≥ 0.9 → connected components. The oracle
+    // derives the same clusters from a brute-force pair set + recursive
+    // closure, independently of the LSH path (recall on planted dups is
+    // pinned by KnnSpec; the testdata has no cos ≥ 0.9 pairs, so this
+    // checks the no-false-positive side end-to-end).
+    "q36_embed_dedup" -> ((s, dir) => {
+      graft.sim.Knn.embedDedup(s, t(s, dir, "embeddings"), threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // multimodal plumbing: binary payload metadata
     "q27_binary_meta" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -619,6 +630,17 @@ object Queries {
         |         list_cosine_similarity(a.embedding, b.embedding) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q36_embed_dedup" ->
+      """WITH RECURSIVE vpairs AS (
+        |  SELECT a.vec_id AS l, b.vec_id AS r FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+        |bidir AS (SELECT l, r FROM vpairs UNION SELECT r, l FROM vpairs),
+        |reach AS (SELECT l AS a, r AS b FROM bidir
+        |          UNION SELECT reach.a, bidir.r FROM reach JOIN bidir ON reach.b = bidir.l),
+        |clus AS (SELECT e.vec_id, least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS cluster_id
+        |         FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id GROUP BY e.vec_id)
+        |SELECT vec_id, cluster_id FROM clus ORDER BY vec_id""".stripMargin,
     "q27_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,

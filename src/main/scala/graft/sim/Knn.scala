@@ -161,6 +161,76 @@ object Knn {
       .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"))
   }
 
+  /** Embedding-cosine near-duplicate clustering — the vector analog of the
+    * MinHash text pipeline (dedup family: exact / MinHash / SimHash /
+    * n-gram / embedding-cosine): multi-table hyperplane-LSH candidate
+    * generation, exact-cosine verification at `threshold`, connected
+    * components → (vec_id, cluster_id = min member id).
+    *
+    * Recall: P(same bucket in one table) = (1 - θ/π)^bits; miss prob over
+    * L independent tables = (1 - p)^L. At cos ≥ 0.95 (θ ≤ 18.2°) with
+    * bits=8, tables=8: p ≈ 0.43, miss ≈ 0.011 per pair before CC bridging
+    * (a missed pair still clusters together via any shared neighbour). At
+    * cos ≥ 0.99: miss ≈ 8e-5. Spec-pinned recall 1.0 on planted dups.
+    *
+    * Scale: bucket rows (table‖bucket key) route through [[graft.stages.PairGen]] —
+    * small buckets exact all-pairs, hot buckets chained by a secondary
+    * continuous projection (near vectors sort adjacently), bounded pair
+    * count — the same skew discipline as the text path; exact cosine runs
+    * only on candidates, and CC picks its plan by edge count. */
+  def embedDedup(spark: SparkSession, embeddings: DataFrame,
+                 threshold: Double = 0.9, bits: Int = 8, tables: Int = 8,
+                 seed: Long = 42L, allPairsCap: Int = 64): DataFrame = {
+    GraftFunctions.register(spark)
+    require(bits <= 24, "bucket bits must leave room for the table index")
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // tables*bits sign planes + 1 shared plane for hot-bucket ordering
+    val planes = hyperplanes(dim, tables * bits + 1, seed)
+    val planesB = spark.sparkContext.broadcast(planes)
+    val keysUdf = udf((v: Seq[Float]) => {
+      val ps = planesB.value
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var b = 0L
+        var i = 0
+        while (i < bits) {
+          val p = ps(t * bits + i)
+          var dot = 0.0
+          var j = 0
+          while (j < v.length) { dot += p(j) * v(j); j += 1 }
+          if (dot >= 0) b |= (1L << i)
+          i += 1
+        }
+        out(t) = (t.toLong << 32) | b
+        t += 1
+      }
+      out
+    })
+    val projUdf = udf((v: Seq[Float]) => {
+      val p = planesB.value(tables * bits)
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += p(j) * v(j); j += 1 }
+      (dot * (1L << 32).toDouble).toLong // monotone long for PairGen's sort
+    })
+    val buckets = embeddings.select(
+      explode(keysUdf(col("embedding"))).as("key"),
+      col("vec_id").as("id"),
+      projUdf(col("embedding")).as("sort"))
+    val cand = graft.stages.PairGen.pairs(buckets, allPairsCap)
+      .select("id_l", "id_r").distinct() // same pair found by several tables
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val edges = cand
+      .join(e.select(col("vec_id").as("id_l"), col("embedding").as("__el")), "id_l")
+      .join(e.select(col("vec_id").as("id_r"), col("embedding").as("__er")), "id_r")
+      .filter(GraftFunctions.cosineSim(col("__el"), col("__er")) >= threshold)
+      .select(col("id_l").as("src"), col("id_r").as("dst"))
+    graft.stages.ConnectedComponents.assign(
+        spark, embeddings.select(col("vec_id").as("id")), edges)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+  }
+
   /** Brute-force cosine top-k (baseline; O(n^2) — test scale only). */
   def bruteTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
     GraftFunctions.register(spark)

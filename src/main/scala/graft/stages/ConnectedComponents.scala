@@ -20,6 +20,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Edge sets at or below this size skip the distributed loop and run
+    * union-find on the driver ([[driverUnionFind]]): ~4M canonical edges is
+    * ~64 MB — trivially driver-resident — while the loop costs 4-6 rounds
+    * of plan-compile + job scheduling + 2 shuffles each, pure
+    * size-independent SERIAL time (the Amdahl term that caps N→4N scaling
+    * efficiency; measured ~10-20 s per run regardless of cores). At
+    * 10^12-doc scale the post-threshold edge set is far above this bound
+    * and the log-round loop is the only option; below it, the loop is all
+    * overhead. Adaptive plan choice, same contract both sides (spec-pinned
+    * identical output). Set 0 to force the distributed path. */
+  val DriverFastPathMaxEdges: Long = 4000000L
+
   /** @param edges columns src:long, dst:long (undirected, any orientation)
     * @param reliableCheckpoint cut lineage with a RELIABLE `checkpoint()`
     *        (requires `spark.sparkContext.setCheckpointDir`) instead of
@@ -30,10 +42,14 @@ object ConnectedComponents {
     *        runs set a checkpoint dir (HDFS/S3) and this flag. Falls back
     *        to localCheckpoint when no dir is set. Both paths produce
     *        identical assignments (spec-pinned).
+    * @param fastPathMaxEdges run driver union-find instead of the
+    *        distributed loop when the canonical edge count (known anyway —
+    *        the input-materialize action) is ≤ this; 0 disables.
     * @return (id, cluster_id) for every id appearing in `edges`. Callers
     *         union singletons (ids without edges) with cluster_id = id. */
   def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 50,
-          reliableCheckpoint: Boolean = false): DataFrame = {
+          reliableCheckpoint: Boolean = false,
+          fastPathMaxEdges: Long = DriverFastPathMaxEdges): DataFrame = {
     import spark.implicits._
     val useReliable = reliableCheckpoint && spark.sparkContext.getCheckpointDir.isDefined
     // LAZY checkpoint: the per-iteration convergence-signature action
@@ -56,9 +72,18 @@ object ConnectedComponents {
 
     val debugTiming = sys.env.contains("GRAFT_CC_DEBUG")
     val matT0 = System.nanoTime()
-    e.count() // materialize input once so iterations read only the cache
+    // materialize input once so iterations read only the cache; the count
+    // is free information — it picks the execution plan below
+    val edgeCount = e.count()
     if (debugTiming)
-      println(f"[cc] input materialize: ${(System.nanoTime() - matT0) / 1e9}%.2f s")
+      println(f"[cc] input materialize ($edgeCount edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
+    if (edgeCount <= fastPathMaxEdges) {
+      val arr = e.as[(Long, Long)].collect()
+      e.unpersist()
+      if (debugTiming)
+        println(f"[cc] driver fast path: ${(System.nanoTime() - matT0) / 1e9}%.2f s")
+      return spark.createDataset(driverUnionFind(arr)).toDF("id", "cluster_id")
+    }
     while (!converged && iter < maxIterations) {
       val iterT0 = System.nanoTime()
       // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every
@@ -106,13 +131,42 @@ object ConnectedComponents {
     assignments
   }
 
+  /** Driver-side union-find with path compression, min-id labeling —
+    * the small-graph execution plan behind [[DriverFastPathMaxEdges]].
+    * Deterministic: the final label of every node is the MIN id of its
+    * component regardless of union order. */
+  private[stages] def driverUnionFind(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var x = x0 // path compression
+      while (parent.getOrDefault(x, x) != r) { val nxt = parent.get(x); parent.put(x, r); x = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min keeps labels canonical as we go
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
+    out.result()
+  }
+
   /** Full assignment over a doc table: edge members get their component's
     * min id, everyone else (singletons + unlinkables) keeps their own id —
     * Splink semantics: "output one row per input record"
     * (person_1/link_model_per.py:830-837). */
   def assign(spark: SparkSession, docIds: DataFrame, edges: DataFrame,
-             maxIterations: Int = 50, reliableCheckpoint: Boolean = false): DataFrame = {
-    val cc = run(spark, edges, maxIterations, reliableCheckpoint)
+             maxIterations: Int = 50, reliableCheckpoint: Boolean = false,
+             fastPathMaxEdges: Long = DriverFastPathMaxEdges): DataFrame = {
+    val cc = run(spark, edges, maxIterations, reliableCheckpoint, fastPathMaxEdges)
     docIds.select(col("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

@@ -14,9 +14,12 @@ import org.apache.spark.sql.SparkSession
 object ScalingBench {
 
   private def runOnce(cores: Int, docs: Long): Double = {
+    // partitions scale with cores; factor > 1 gives the scheduler room to
+    // even out stragglers (overridable for methodology experiments)
+    val partsFactor = sys.env.getOrElse("GRAFT_PARTS_FACTOR", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (cores * partsFactor).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -36,6 +39,21 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val docs = if (args.nonEmpty) args(0).toLong else 100000L
     val reps = if (args.length > 1) args(1).toInt else 2
+    // single-level mode (arg3 = core count): run ONE parallelism level so
+    // the caller can pin the JVM to that many PHYSICAL cpus (taskset -c).
+    // Without pinning, a local[8] JVM on a 32-core box still spends extra
+    // cores on GC / shuffle compression / kernel I/O, inflating the
+    // small-cluster baseline and understating true N→4N efficiency.
+    if (args.length > 2) {
+      val cores = args(2).toInt
+      val secs = (1 to reps).map { r =>
+        val sec = runOnce(cores, docs)
+        println(f"[scaling] rep $r local[$cores]: $sec%.1f s (${docs / sec}%.0f docs/s)")
+        sec
+      }
+      println(f"""{"docs":$docs,"cores":$cores,"sec_min":${secs.min}%.1f,"docs_per_sec":${docs / secs.min}%.1f}""")
+      return
+    }
     val (small, large) = (8, 32)
     val times = collection.mutable.Map(small -> List.empty[Double], large -> List.empty[Double])
     for (r <- 1 to reps; c <- Seq(small, large)) {

@@ -65,6 +65,58 @@ class KnnSpec extends SparkSpec {
       s"chain ordering by secondary projection must keep cluster recall (${same.toDouble / total})")
   }
 
+  /** Planted near-dup vectors: 30 base vectors; ids 100..129 are tiny
+    * perturbations of base i (cos ≥ ~0.999), plus 60 unrelated randoms.
+    * Truth clusters: {i, 100+i} pairs; everything else singleton. */
+  private lazy val planted = {
+    val rnd = new java.util.SplittableRandom(91)
+    val base = Array.fill(30, 32)(rnd.nextDouble() * 2 - 1)
+    val dups = (0 until 30).map { i =>
+      (100L + i, base(i).map(x => (x + (Hashing.mix64(i * 7L) % 100) / 100000.0).toFloat))
+    }
+    val orig = (0 until 30).map(i => (i.toLong, base(i).map(_.toFloat)))
+    val noise = (0 until 60).map(i => (200L + i, Array.fill(32)((rnd.nextDouble() * 2 - 1).toFloat)))
+    (orig ++ dups ++ noise).toDF("vec_id", "embedding").persist()
+  }
+
+  test("embedDedup clusters planted near-dups exactly (recall 1.0, precision 1.0)") {
+    val got = Knn.embedDedup(spark, planted, threshold = 0.95)
+      .as[(Long, Long)].collect().toMap
+    (0 until 30).foreach { i =>
+      assert(got(i.toLong) == i.toLong && got(100L + i) == i.toLong,
+        s"planted pair ($i, ${100 + i}) must share cluster min id $i (got ${got(i.toLong)}, ${got(100L + i)})")
+    }
+    (0 until 60).foreach { i =>
+      assert(got(200L + i) == 200L + i, s"unrelated vector ${200 + i} must stay a singleton")
+    }
+    assert(got.size == 120)
+  }
+
+  test("embedDedup matches brute-force threshold clustering on clustered data") {
+    val emb = clustered.select("vec_id", "embedding")
+    // truth: brute-force pairs at the threshold + driver union-find closure
+    val thr = 0.98
+    val pairs = emb.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val edges = for {
+      i <- pairs.indices; j <- (i + 1) until pairs.length
+      if cos(pairs(i)._2, pairs(j)._2) >= thr
+    } yield (pairs(i)._1, pairs(j)._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = pairs.map(_._1).map(id => id -> find(id)).toMap
+    val got = Knn.embedDedup(spark, emb, threshold = thr).as[(Long, Long)].collect().toMap
+    assert(got == truth, "LSH-routed embedDedup must equal brute-force closure at this scale")
+  }
+
   test("LSH top-1 is deterministic and covers every vector") {
     val emb = clustered.select("vec_id", "embedding")
     val a = Knn.lshTop1(spark, emb, EngineConfig.default).orderBy("vec_id")

@@ -9,6 +9,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.run(spark, edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
 
+  /** Forced onto the distributed large-star/small-star loop. */
+  private def ccDist(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(spark, edges.toDF("src", "dst"), fastPathMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+
   test("chain A-B-C collapses to min id (association-match transitivity)") {
     assert(cc(Seq((1L, 2L), (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
@@ -31,10 +36,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
-  test("long path converges within iteration budget") {
+  test("long path converges within iteration budget (distributed path)") {
     val path = (0L until 64L).map(i => (i, i + 1))
-    val m = cc(path)
+    val m = ccDist(path)
     assert(m.size == 65 && m.values.forall(_ == 0L))
+  }
+
+  test("driver fast path and distributed loop produce identical assignments") {
+    val rnd = new java.util.SplittableRandom(43)
+    val edges = (1 to 300).map(_ => (rnd.nextLong(200), rnd.nextLong(200)))
+      .filter(e => e._1 != e._2)
+    assert(cc(edges) == ccDist(edges))
   }
 
   test("100-node random graph matches driver-side union-find") {
@@ -65,9 +77,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     val rnd = new java.util.SplittableRandom(29)
     val edges = (1 to 150).map(_ => (rnd.nextLong(80), rnd.nextLong(80)))
       .filter(e => e._1 != e._2).toDF("src", "dst")
-    val local = ConnectedComponents.run(spark, edges)
+    val local = ConnectedComponents.run(spark, edges, fastPathMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
-    val reliable = ConnectedComponents.run(spark, edges, reliableCheckpoint = true)
+    val reliable = ConnectedComponents.run(spark, edges,
+        reliableCheckpoint = true, fastPathMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(local == reliable)
     // and the reliable run actually wrote checkpoint data
