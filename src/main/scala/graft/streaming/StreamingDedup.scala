@@ -38,6 +38,81 @@ object StreamingDedup {
       .agg(count(lit(1)).as("docs"),
         approx_count_distinct(xxhash64(col("text"))).as("approx_distinct"))
 
+  final case class BucketMember(id: Long, simhash: Long, tsMs: Long)
+  final case class BucketState(members: List[BucketMember])
+  final case class NearDupHit(id_l: Long, id_r: Long, hamming: Int, band: Int)
+
+  /** Streaming near-duplicate candidate detector: flag likely near-dups of
+    * incoming docs against the recent horizon, in-flight. LSH band hashes
+    * of the 128-perm MinHash signature key a bounded per-bucket state
+    * (most-recent `bucketCap` members, evicted by event-time timeout one
+    * horizon after the bucket's last arrival); each arrival is verified
+    * against bucket members by SimHash Hamming distance
+    * (≤ cfg.hammingThreshold) before a hit is emitted.
+    *
+    * Scope (same stance as [[dedupStream]]'s docstring): this is the
+    * ingest-side detector a production deployment runs IN FRONT of the
+    * batch pipeline — authoritative clustering stays batch (global
+    * connected components has no incremental form at this fidelity). The
+    * same pair can hit in several bands (hits carry band provenance);
+    * callers dedupe downstream (`dropDuplicates("id_l","id_r")` per sink
+    * batch or in the batch join-back).
+    *
+    * State bound: buckets × bucketCap × 24 bytes — at 10^12 docs/horizon
+    * the bucket keyspace is the band-hash range, sharded across executors
+    * by groupByKey; no state key ever exceeds bucketCap members. */
+  def nearDupCandidates(docs: DataFrame,
+                        cfg: graft.model.EngineConfig = graft.model.EngineConfig.default,
+                        watermark: String = "1 hour",
+                        bucketCap: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hamThr = cfg.hammingThreshold
+    val buckets = docs
+      .withColumn("minhash", graft.expr.GraftFunctions.minhashSig(col("text"), cfg))
+      .withColumn("simhash", graft.expr.GraftFunctions.simhash64(col("text")))
+      .filter(col("minhash").isNotNull)
+      .withWatermark("warc_ts", watermark)
+      .select(
+        col("id"), col("warc_ts"), col("simhash"),
+        posexplode(graft.expr.GraftFunctions.bandHashes(col("minhash"), cfg))
+          .as(Seq("band_idx", "band_hash")))
+      .select(
+        (shiftleft(col("band_idx").cast("long"), 56)
+          .bitwiseOR(shiftrightunsigned(col("band_hash"), 8))).as("key"),
+        col("id"), col("warc_ts"), col("simhash"))
+      // the watermarked TIMESTAMP column must reach the stateful operator
+      // unchanged — casting it away would disable event-time timeout
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+    buckets
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = (key >>> 56).toInt
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            // event-time order within the batch for deterministic eviction
+            val batch = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            val out = Seq.newBuilder[NearDupHit]
+            batch.foreach { case (_, id, ts, sh) =>
+              members.foreach { m =>
+                if (m.id != id) {
+                  val d = java.lang.Long.bitCount(m.simhash ^ sh)
+                  if (d <= hamThr)
+                    out += NearDupHit(math.min(m.id, id), math.max(m.id, id), d, band)
+                }
+              }
+              members = (BucketMember(id, sh, ts.getTime) :: members).take(bucketCap)
+            }
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(members.head.tsMs, watermark)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
   final case class UrlState(firstTs: Long, count: Long)
   final case class UrlUpdate(url: String, firstTs: Long, count: Long)
 

@@ -17,9 +17,10 @@ object ScalingBench {
     // partitions scale with cores; factor > 1 gives the scheduler room to
     // even out stragglers (overridable for methodology experiments)
     val partsFactor = sys.env.getOrElse("GRAFT_PARTS_FACTOR", "1").toInt
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * partsFactor).toString)
+    val spark = graft.Bench.localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -34,6 +35,37 @@ object ScalingBench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     sec
+  }
+
+  /** Raw compute capacity at `threads` parallel burners (mix64 hash loop,
+    * the pipeline's core kernel): iterations completed in `millis`.
+    * Purpose: this sandbox's 32 vCPUs are SMT siblings of ~16 physical
+    * cores — 32 burners deliver only ~3.2x the throughput of 8 (measured),
+    * so even an embarrassingly parallel job can show at most ~0.8
+    * "efficiency" from local[8]→local[32]. The A/B run measures this
+    * ceiling alongside the engine and reports efficiency both nominal
+    * (vs 4.0) and normalized (vs the measured hardware capacity ratio),
+    * the honest stand-in for N→4N executors on real distinct machines. */
+  private def burnCapacity(threads: Int, millis: Long = 2000L): Long = {
+    val counters = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var c = 0L
+        var h = graft.expr.Hashing.mix64(i.toLong + 1)
+        while (!stop.get()) {
+          var j = 0
+          while (j < 1000) { h = graft.expr.Hashing.mix64(h); j += 1 }
+          c += 1
+        }
+        counters.set(i, if (h == 42L) c + 1 else c) // defeat dead-code elim
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    Thread.sleep(millis)
+    stop.set(true)
+    ts.foreach(_.join())
+    (0 until threads).map(counters.get).sum
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,8 +95,17 @@ object ScalingBench {
     }
     val tS = times(small).min
     val tL = times(large).min
-    val eff = (tS / tL) / (large.toDouble / small)
+    // hardware capacity calibration: interleave to share any steal equally
+    val (capS, capL) = {
+      val a1 = burnCapacity(small); val b1 = burnCapacity(large)
+      val a2 = burnCapacity(small); val b2 = burnCapacity(large)
+      (math.max(a1, a2).toDouble, math.max(b1, b2).toDouble)
+    }
+    val hwRatio = capL / capS
+    val speedup = tS / tL
+    val eff = speedup / (large.toDouble / small)
+    val effHw = speedup / hwRatio
     println(
-      f"""{"docs":$docs,"cores_small":$small,"cores_large":$large,"sec_small":$tS%.1f,"sec_large":$tL%.1f,"docs_per_sec_small":${docs / tS}%.1f,"docs_per_sec_large":${docs / tL}%.1f,"speedup":${tS / tL}%.2f,"scaling_efficiency":$eff%.3f}""")
+      f"""{"docs":$docs,"cores_small":$small,"cores_large":$large,"sec_small":$tS%.1f,"sec_large":$tL%.1f,"docs_per_sec_small":${docs / tS}%.1f,"docs_per_sec_large":${docs / tL}%.1f,"speedup":$speedup%.2f,"scaling_efficiency":$eff%.3f,"hw_capacity_ratio":$hwRatio%.2f,"efficiency_vs_hw":$effHw%.3f}""")
   }
 }

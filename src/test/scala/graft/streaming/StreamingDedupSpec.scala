@@ -48,6 +48,51 @@ class StreamingDedupSpec extends SparkSpec {
     assert(rows.contains(("de", 1L)))
   }
 
+  private val textA = "the quick brown fox jumps over the lazy dog again and again " * 3
+  private val textB = "completely unrelated content about distributed hash joins " * 3
+  private val textC = "a third body of text regarding winnowing fingerprints at scale " * 3
+
+  test("streaming near-dup candidates: LSH-bucketed hits with bounded state") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("id", "warc_ts", "text")
+    val q = StreamingDedup.nearDupCandidates(df, watermark = "10 minutes", bucketCap = 2)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    // four copies of the same text in event-time order, cap 2: member list
+    // per bucket holds the 2 most recent, so (1,4) must NOT be emitted
+    input.addData((1L, ts(0), textA), (2L, ts(1), textA),
+      (3L, ts(2), textA), (4L, ts(3), textA), (9L, ts(2), textB))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_out")
+      .select("id_l", "id_r").distinct().as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"got $pairs")
+  }
+
+  test("streaming near-dup state evicts one horizon after last bucket arrival") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("id", "warc_ts", "text")
+    val q = StreamingDedup.nearDupCandidates(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, ts(0), textA))
+    q.processAllAvailable() // watermark still behind
+    input.addData((20L, ts(40), textB))
+    q.processAllAvailable() // advances watermark past ts(0) + horizon
+    input.addData((21L, ts(41), textC))
+    q.processAllAvailable() // timeout fires for doc 1's (dataless) buckets
+    input.addData((5L, ts(42), textA))
+    q.processAllAvailable() // doc 1 evicted → no hit
+    val pairs = spark.table("neardup_evict")
+      .select("id_l", "id_r").distinct().as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(!pairs.contains((1L, 5L)), s"doc 1 must be evicted before doc 5 arrives ($pairs)")
+    assert(pairs.isEmpty, s"no other hits expected ($pairs)")
+  }
+
   test("mapGroupsWithState recrawl counter accumulates across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
