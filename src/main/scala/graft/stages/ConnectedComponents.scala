@@ -72,18 +72,27 @@ object ConnectedComponents {
 
     val debugTiming = sys.env.contains("GRAFT_CC_DEBUG")
     val matT0 = System.nanoTime()
-    // materialize input once so iterations read only the cache; the count
-    // is free information — it picks the execution plan below
+    if (fastPathMaxEdges > 0) {
+      // ONE action decides the plan AND feeds the fast path: collect up to
+      // bound+1 canonical edges. Small graph (the common case at bench
+      // scale): this scans every partition (limit never satisfied),
+      // populating e's cache exactly like a count would — then union-find
+      // on the driver, zero distributed rounds. Big graph: the limit
+      // short-circuits early and the loop below pays one count to finish
+      // cache materialization.
+      val bound = math.min(fastPathMaxEdges, Int.MaxValue - 2L).toInt
+      val arr = e.limit(bound + 1).as[(Long, Long)].collect()
+      if (arr.length <= bound) {
+        e.unpersist()
+        if (debugTiming)
+          println(f"[cc] driver fast path (${arr.length} edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
+        return spark.createDataset(driverUnionFind(arr)).toDF("id", "cluster_id")
+      }
+    }
+    // materialize input once so iterations read only the cache
     val edgeCount = e.count()
     if (debugTiming)
       println(f"[cc] input materialize ($edgeCount edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
-    if (edgeCount <= fastPathMaxEdges) {
-      val arr = e.as[(Long, Long)].collect()
-      e.unpersist()
-      if (debugTiming)
-        println(f"[cc] driver fast path: ${(System.nanoTime() - matT0) / 1e9}%.2f s")
-      return spark.createDataset(driverUnionFind(arr)).toDF("id", "cluster_id")
-    }
     while (!converged && iter < maxIterations) {
       val iterT0 = System.nanoTime()
       // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every

@@ -349,17 +349,22 @@ object Substring {
 
   def edges(docs: DataFrame, cfg: EngineConfig,
             idCol: String = "id", textCol: String = "text"): DataFrame = {
-    val fps = docs.select(
+    // winnowing is the most expensive narrow kernel in the pipeline
+    // (char-gram FNV over the full text + sliding-window min) and BOTH
+    // consumers below need it — compute it once per doc, cache the compact
+    // array form (~100 longs/doc, far smaller than the text), and derive
+    // the exploded bucket table and the per-doc counts from the cache
+    val withFps = docs.select(
         col(idCol).as("id"),
-        explode(GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow)).as("key"))
+        GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow).as("__fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = withFps.select(col("id"), explode(col("__fps")).as("key"))
       // (id, key) is distinct by construction: winnow de-dups per doc
       .withColumn("sort", col("id"))
     // per-doc fingerprint counts for the containment-ratio test — computed
     // narrowly from the array length (winnow emits distinct fps), not via a
     // groupBy over the exploded table
-    val nFps = docs.select(
-      col(idCol).as("id"),
-      size(GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow)).as("n_fps"))
+    val nFps = withFps.select(col("id"), size(col("__fps")).as("n_fps"))
     val shared = PairGen.pairs(fps, cfg.allPairsCap, dropHotAbove = Some(cfg.substringDfCap))
       .groupBy("id_l", "id_r").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= cfg.substringMinFps)
