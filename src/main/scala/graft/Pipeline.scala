@@ -190,7 +190,12 @@ object Pipeline {
     s"""{"shingleK":${cfg.shingleK},"numPerms":${cfg.numPerms},"bands":${cfg.bands},""" +
       s""""rowsPerBand":${cfg.rowsPerBand},"seed":${cfg.seed},""" +
       s""""jaccardThreshold":${cfg.jaccardThreshold},"hammingThreshold":${cfg.hammingThreshold},""" +
-      s""""exactVerify":${cfg.exactVerify},""" +
+      s""""exactVerify":${cfg.exactVerify},"tfWeighting":${cfg.tfWeighting},""" +
       s""""winnowK":${cfg.winnowK},"winnowWindow":${cfg.winnowWindow},""" +
-      s""""substringMinFps":${cfg.substringMinFps},"extractor":"${TextExtract.version}"}"""
+      s""""substringMinFps":${cfg.substringMinFps},"substringMinRatio":${cfg.substringMinRatio},""" +
+      s""""substringDfCap":${cfg.substringDfCap},"allPairsCap":${cfg.allPairsCap},""" +
+      s""""extractor":"${TextExtract.version}"}"""
+      // ccFastPathMaxEdges / reliableCheckpoints / maxCcIterations are
+      // deliberately EXCLUDED: they change the execution plan, never the
+      // output (spec-pinned), so flipping them must still reuse snapshots
 }

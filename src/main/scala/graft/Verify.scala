@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // pipeline-shaped queries persist intermediates they cannot unpersist
+      // (lazy contract); without this, 36 queries accumulate caches and the
+      // tail of the run measures eviction churn, not the queries
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -82,6 +82,8 @@ object PersonParity {
     * order, same ids, no single-partition window. */
   def namespacedIds(lookup: DataFrame, rangeBases: Map[String, Long]): DataFrame = {
     val spark = lookup.sparkSession
+    if (rangeBases.isEmpty) // no namespaces configured → no ids to assign
+      return lookup.withColumn("new_id", lit(null).cast("long"))
     val perType = rangeBases.toSeq.sortBy(_._1).map { case (t, b) =>
       // denseIds emits base-1 + rank(1..n) = base, base+1, … per distinct key
       graft.stages.Golden.denseIds(

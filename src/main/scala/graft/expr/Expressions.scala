@@ -209,9 +209,12 @@ object GraftFunctions {
 
   /** Idempotent per-session: repeated calls (every query entry registers)
     * must not re-register — the replace WARNs pollute driver-captured logs
-    * and registration mutates shared session state. */
+    * and registration mutates shared session state. WeakHashMap-backed so
+    * stopped sessions (bench/scaling tools create one per rep) are not
+    * pinned for the JVM lifetime. */
   private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def register(spark: SparkSession): Unit = {
     if (!registered.add(spark)) return

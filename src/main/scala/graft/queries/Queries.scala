@@ -472,12 +472,12 @@ object Queries {
     * grams mirrors [[TrigramDfCap]] exactly — both engines drop the same
     * boilerplate grams. */
   private val TrigramCte: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |grams0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
       |          FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS n FROM grams0 GROUP BY doc_id),
       |grams AS (SELECT * FROM grams0 WHERE g NOT IN (
-      |          SELECT g FROM grams0 GROUP BY g HAVING count(*) > 100)),
+      |          SELECT g FROM grams0 GROUP BY g HAVING count(*) > $TrigramDfCap)),
       |ipairs AS (SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r, count(*) AS inter
       |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |jpairs AS (SELECT p.doc_id_l, p.doc_id_r, p.inter, sa.n AS size_l, sb.n AS size_r

@@ -21,16 +21,20 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** Edge sets at or below this size skip the distributed loop and run
-    * union-find on the driver ([[driverUnionFind]]): ~4M canonical edges is
-    * ~64 MB — trivially driver-resident — while the loop costs 4-6 rounds
-    * of plan-compile + job scheduling + 2 shuffles each, pure
+    * union-find on the driver ([[driverUnionFind]]), while the loop costs
+    * 4-6 rounds of plan-compile + job scheduling + 2 shuffles each — pure
     * size-independent SERIAL time (the Amdahl term that caps N→4N scaling
-    * efficiency; measured ~10-20 s per run regardless of cores). At
+    * efficiency; measured ~10-20 s per run regardless of cores). Driver
+    * memory at the bound, measured in JVM terms not flat bytes: 2M edges
+    * collect as specialized Tuple2 (~56 B each incl. array slot ≈ 112 MB,
+    * freed before output build) and the union-find uses primitive
+    * open-addressing arrays (≤ 4M nodes × 24 B × 2 for load factor
+    * ≈ 190 MB peak) — inside a default 1-2 GB driver with headroom. At
     * 10^12-doc scale the post-threshold edge set is far above this bound
     * and the log-round loop is the only option; below it, the loop is all
     * overhead. Adaptive plan choice, same contract both sides (spec-pinned
     * identical output). Set 0 to force the distributed path. */
-  val DriverFastPathMaxEdges: Long = 4000000L
+  val DriverFastPathMaxEdges: Long = 2000000L
 
   /** @param edges columns src:long, dst:long (undirected, any orientation)
     * @param reliableCheckpoint cut lineage with a RELIABLE `checkpoint()`
@@ -84,9 +88,15 @@ object ConnectedComponents {
       val arr = e.limit(bound + 1).as[(Long, Long)].collect()
       if (arr.length <= bound) {
         e.unpersist()
+        val assigned = driverUnionFind(arr)
         if (debugTiming)
           println(f"[cc] driver fast path (${arr.length} edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
-        return spark.createDataset(driverUnionFind(arr)).toDF("id", "cluster_id")
+        // parallelize, NOT createDataset: a LocalRelation of up to 2×bound
+        // rows would bloat every downstream plan and invite a broadcast of
+        // the whole assignment table
+        return spark.createDataset(
+          spark.sparkContext.parallelize(assigned, spark.sparkContext.defaultParallelism))
+          .toDF("id", "cluster_id")
       }
     }
     // materialize input once so iterations read only the cache
@@ -143,29 +153,54 @@ object ConnectedComponents {
   /** Driver-side union-find with path compression, min-id labeling —
     * the small-graph execution plan behind [[DriverFastPathMaxEdges]].
     * Deterministic: the final label of every node is the MIN id of its
-    * component regardless of union order. */
+    * component regardless of union order. Primitive open-addressing
+    * id→index map + int parent array — no per-entry boxing, so the memory
+    * at the bound stays in the documented ~200 MB envelope. */
   private[stages] def driverUnionFind(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
-    def find(x0: Long): Long = {
+    val maxNodes = edges.length * 2
+    // open-addressing map: ids[slot] holds the node id (EMPTY = free),
+    // idx[slot] its dense index; capacity = next pow2 ≥ 2×maxNodes
+    var cap = 16
+    while (cap < maxNodes * 2) cap <<= 1
+    val used = new Array[Boolean](cap) // explicit occupancy: no sentinel id
+    val ids = new Array[Long](cap)
+    val slotIdx = new Array[Int](cap)
+    val nodeId = new Array[Long](math.max(maxNodes, 1))
+    val parent = new Array[Int](math.max(maxNodes, 1))
+    var n = 0
+    val mask = cap - 1
+    def indexOf(id: Long): Int = {
+      var s = (graft.expr.Hashing.mix64(id) & mask).toInt
+      while (true) {
+        if (!used(s)) {
+          used(s) = true; ids(s) = id; slotIdx(s) = n
+          nodeId(n) = id; parent(n) = n; n += 1
+          return slotIdx(s)
+        }
+        if (ids(s) == id) return slotIdx(s)
+        s = (s + 1) & mask
+      }
+      -1 // unreachable
+    }
+    def find(x0: Int): Int = {
       var r = x0
-      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var x = x0 // path compression
-      while (parent.getOrDefault(x, x) != r) { val nxt = parent.get(x); parent.put(x, r); x = nxt }
+      while (parent(x) != r) { val nxt = parent(x); parent(x) = r; x = nxt }
       r
     }
     edges.foreach { case (a, b) =>
       if (a != b) {
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // union by min keeps labels canonical as we go
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        val (ra, rb) = (find(indexOf(a)), find(indexOf(b)))
+        if (ra != rb) { // union by min-ID root keeps labels canonical
+          if (nodeId(ra) < nodeId(rb)) parent(rb) = ra else parent(ra) = rb
         }
       }
     }
-    val out = Seq.newBuilder[(Long, Long)]
-    val it = parent.keySet().iterator()
-    while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
-    out.result()
+    val out = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) { out(i) = (nodeId(i), nodeId(find(i))); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Full assignment over a doc table: edge members get their component's

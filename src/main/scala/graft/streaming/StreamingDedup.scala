@@ -107,7 +107,10 @@ object StreamingDedup {
               members = (BucketMember(id, sh, ts.getTime) :: members).take(bucketCap)
             }
             state.update(BucketState(members))
-            state.setTimeoutTimestamp(members.head.tsMs, watermark)
+            // horizon anchors to the NEWEST member overall — members.head
+            // is only the newest of THIS batch, and a late-but-valid batch
+            // would otherwise shrink the horizon and evict live state
+            state.setTimeoutTimestamp(members.iterator.map(_.tsMs).max, watermark)
             out.result().iterator
           }
       }.toDF()
