@@ -36,7 +36,10 @@ object Knn {
     * ordered by a secondary hyperplane projection (a continuous LSH value —
     * near vectors get near projections, so true neighbours sort adjacently)
     * and each member compares only with the next chainWidth members:
-    * O(n·chainWidth) pairs per hot bucket, nothing dropped from coverage. */
+    * O(n·chainWidth) pairs per hot bucket, nothing dropped from coverage.
+    * (The rank window still places one hot bucket in one task; at extreme
+    * bucket sizes route it through the range-partitioned chain pattern of
+    * [[graft.stages.PairGen.chainPairsRanged]] — embedDedup already does.) */
   def lshTop1(spark: SparkSession, embeddings: DataFrame, cfg: EngineConfig,
               bits: Int = 8, bucketCap: Int = 256, chainWidth: Int = 4): DataFrame = {
     GraftFunctions.register(spark)

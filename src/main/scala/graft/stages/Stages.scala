@@ -68,13 +68,11 @@ object Signatures {
   * - buckets with ≤ allPairsCap members → all pairs (exactly Splink's
   *   blocking self-join J3 semantics);
   * - hot buckets → O(n) chain pairing: members sorted by (sortKey, id) and
-  *   linked consecutively. Connectivity within the bucket is preserved
-  *   (clustering is over the transitive closure), nothing is silently
-  *   dropped; near-identical docs sort adjacently when sortKey = simhash.
-  *
-  * One shuffle: the window count and the subsequent groupBy/lead reuse the
-  * same hash partitioning on `key` (Catalyst recognises the co-partitioning,
-  * verified via explain in the spec).
+  *   linked consecutively, via RANGE partitioning so a mega-bucket spreads
+  *   over many tasks ([[PairGen.chainPairsRanged]]). Connectivity within
+  *   the bucket is preserved (clustering is over the transitive closure),
+  *   nothing is silently dropped; near-identical docs sort adjacently when
+  *   sortKey = simhash.
   */
 object PairGen {
   val AllPairsCap = 64
@@ -148,17 +146,85 @@ object PairGen {
           .stripMargin)).as("p"))
       .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
 
-    val chainW = Window.partitionBy("key").orderBy(col("sort"), col("id"))
-    val chainPairs = buckets
-      .join(broadcast(hotKeys), Seq("key"), "left_semi")
-      .withColumn("__nxt", lead(col("id"), 1).over(chainW))
-      .filter(col("__nxt").isNotNull)
-      .select(
-        least(col("id"), col("__nxt")).as("id_l"),
-        greatest(col("id"), col("__nxt")).as("id_r"),
-        col("key"))
+    val chainPairs = chainPairsRanged(
+      buckets.join(broadcast(hotKeys), Seq("key"), "left_semi"))
 
     smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
+  }
+
+  /** O(n) chain pairing of hot-bucket members WITHOUT a per-key window.
+    *
+    * `Window.partitionBy(key)` puts every row of a key into ONE task — for
+    * a boilerplate band bucket at 10^12-doc scale (10^7-10^8 members) that
+    * single task is the job. This is the north_rule's "explicit
+    * repartitioning for hot LSH buckets": `repartitionByRange(key, sort,
+    * id)` splits a mega-bucket across many partitions while preserving the
+    * GLOBAL sort order, consecutive members pair within each partition
+    * (mapPartitions — the one place imperative per-partition logic is the
+    * right tool), and the per-key last/first rows at partition boundaries
+    * are stitched by a join over a tiny (≤ 2 rows × keys × partitions)
+    * boundary table. The emitted edge set is exactly the window plan's:
+    * all consecutive (sort, id)-ordered pairs per key. Range boundaries
+    * come from sampling and are not themselves deterministic, but the
+    * output depends only on the total order, so it is. */
+  private[stages] def chainPairsRanged(hotRows: DataFrame): DataFrame = {
+    val spark = hotRows.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = hotRows
+      .select(col("key").cast("long"), col("sort").cast("long"), col("id").cast("long"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(parts, col("key"), col("sort"), col("id"))
+      .sortWithinPartitions("key", "sort", "id")
+    // rows: kind 0 = chain edge (key, a, b); kind 1 = first row of a key in
+    // this partition; kind 2 = last row of a key in this partition
+    val tagged = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      new Iterator[(Int, Long, Int, Long, Long)] {
+        private var pending: List[(Int, Long, Int, Long, Long)] = Nil
+        private var prevKey = 0L
+        private var prevId = 0L
+        private var havePrev = false
+        private def refill(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val (k, _, id) = it.next()
+            if (!havePrev || k != prevKey) {
+              if (havePrev) pending ::= ((2, prevKey, pid, prevId, 0L))
+              pending ::= ((1, k, pid, id, 0L))
+            } else {
+              pending ::= ((0, k, pid, prevId, id))
+            }
+            prevKey = k; prevId = id; havePrev = true
+          }
+          if (pending.isEmpty && !it.hasNext && havePrev) {
+            pending ::= ((2, prevKey, pid, prevId, 0L))
+            havePrev = false
+          }
+        }
+        override def hasNext: Boolean = { refill(); pending.nonEmpty }
+        override def next(): (Int, Long, Int, Long, Long) = {
+          refill(); val h = pending.head; pending = pending.tail; h
+        }
+      }
+    }.toDF("kind", "key", "pid", "a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = tagged.filter(col("kind") === 0)
+      .select(least(col("a"), col("b")).as("id_l"),
+        greatest(col("a"), col("b")).as("id_r"), col("key"))
+    // stitch: last row of a key in partition p pairs with the key's first
+    // row in the NEXT partition that holds it (range partitioning keeps a
+    // key's span contiguous; min(pid') skips empty partitions)
+    val lasts = tagged.filter(col("kind") === 2)
+      .select(col("key"), col("pid"), col("a").as("last_id"))
+    val firsts = tagged.filter(col("kind") === 1)
+      .select(col("key"), col("pid").as("pid2"), col("a").as("first_id"))
+    val stitch = lasts.join(firsts, "key")
+      .filter(col("pid2") > col("pid"))
+      .groupBy(col("key"), col("pid"), col("last_id"))
+      .agg(min_by(col("first_id"), col("pid2")).as("first_id"))
+      .select(least(col("last_id"), col("first_id")).as("id_l"),
+        greatest(col("last_id"), col("first_id")).as("id_r"), col("key"))
+    within.unionByName(stitch)
   }
 
   /** Fallback plan when the hot-key set itself is too large to broadcast:

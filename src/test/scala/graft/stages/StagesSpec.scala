@@ -31,6 +31,24 @@ class StagesSpec extends SparkSpec {
     assert(!pairs.exists(_._3 == 200L))
   }
 
+  test("PairGen: mega-bucket chains via range partitioning across tasks, no per-key window") {
+    // one hot key with 5,000 members, scrambled sort order — must spread
+    // over multiple range partitions and still emit EXACTLY the global
+    // consecutive chain (boundary stitching included)
+    val rows = (1L to 5000L).map(i => (42L, i, graft.expr.Hashing.mix64(i)))
+    val buckets = rows.toDF("key", "id", "sort").repartition(8)
+    val got = PairGen.pairs(buckets).as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2)).toSet
+    val ordered = rows.sortBy(r => (r._3, r._2)).map(_._2)
+    val want = ordered.zip(ordered.tail)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got == want, s"chain mismatch: missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+    // plan shape: range exchange present, no Window node in the hot path
+    val plan = PairGen.pairs(buckets).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range exchange:\n$plan")
+    assert(!plan.contains("Window"), s"hot path must not use a per-key window:\n$plan")
+  }
+
   test("PairGen: windowed fallback produces the identical pair set") {
     val buckets = ((1L to 5L).map(i => (100L, i, i)) ++
       (1L to 80L).map(i => (300L, 1000L + i, i)) ++ Seq((200L, 9L, 9L)))
