@@ -37,9 +37,11 @@ object Knn {
     * near vectors get near projections, so true neighbours sort adjacently)
     * and each member compares only with the next chainWidth members:
     * O(n·chainWidth) pairs per hot bucket, nothing dropped from coverage.
-    * (The rank window still places one hot bucket in one task; at extreme
-    * bucket sizes route it through the range-partitioned chain pattern of
-    * [[graft.stages.PairGen.chainPairsRanged]] — embedDedup already does.) */
+    * The chain runs over deterministic GLOBAL ranks computed by range
+    * partitioning + two-phase offsets
+    * ([[graft.stages.PairGen.rankedWidthPairs]]) — no per-bucket window
+    * task, so even a 10^7-member boilerplate bucket spreads across the
+    * cluster. */
   def lshTop1(spark: SparkSession, embeddings: DataFrame, cfg: EngineConfig,
               bits: Int = 8, bucketCap: Int = 256, chainWidth: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
@@ -82,16 +84,20 @@ object Knn {
       .filter(col("vec_id") =!= col("nid"))
       .select("vec_id", "embedding", "nid", "emb_b")
 
-    val hot = bucketed.join(broadcast(hotBuckets), Seq("bucket"), "left_semi")
-      .withColumn("__rank", row_number().over(
-        Window.partitionBy("bucket").orderBy(projUdf(col("embedding")), col("vec_id"))))
-    val hotChain = hot
-      .withColumn("__off", explode(lit((1 to chainWidth).toArray)))
-      .withColumn("__rank2", col("__rank") + col("__off"))
-      .join(hot.select(col("bucket"), col("__rank").as("__rank2"),
-          col("vec_id").as("nid"), col("embedding").as("emb_b")),
-        Seq("bucket", "__rank2"))
-      .select(col("vec_id"), col("embedding"), col("nid"), col("emb_b"))
+    // width-k chain over the global (bucket, projection, id) order via
+    // PairGen.rankedWidthPairs — NO per-bucket window task, so one hot
+    // bucket of 10^7 members spreads across the cluster (same range-
+    // partition discipline as the text path's chainPairsRanged)
+    val hotRows = bucketed.join(broadcast(hotBuckets), Seq("bucket"), "left_semi")
+      .select(col("bucket").as("key"), col("vec_id").as("id"),
+        (projUdf(col("embedding")) * lit((1L << 32).toDouble)).cast("long").as("sort"))
+    val hotIdPairs = graft.stages.PairGen.rankedWidthPairs(hotRows, chainWidth)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val hotChain = hotIdPairs
+      .join(e.select(col("vec_id").as("id_l"), col("embedding").as("__el")), "id_l")
+      .join(e.select(col("vec_id").as("id_r"), col("embedding").as("__er")), "id_r")
+      .select(col("id_l").as("vec_id"), col("__el").as("embedding"),
+        col("id_r").as("nid"), col("__er").as("emb_b"))
     // each chained pair is candidate evidence for BOTH endpoints
     val hotPairs = hotChain.unionByName(hotChain.select(
       col("nid").as("vec_id"), col("emb_b").as("embedding"),

@@ -255,6 +255,53 @@ object PairGen {
     smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
   }
 
+  /** Width-k generalisation of [[chainPairsRanged]] for ANN hot buckets:
+    * every member pairs with the next `width` members in global (key,
+    * sort, id) order, with NO per-key window task. Global ranks are
+    * computed deterministically (range partition → per-partition local
+    * index + two-phase offsets, the same technique as Golden.denseIds —
+    * boundary placement cancels out of offset+localIdx), then pairs are a
+    * hash-partitioned equi-join on (key, rank ± δ), δ = 1..width — fully
+    * parallel on the high-cardinality (key, rank) composite. Exactly the
+    * window plan's pair set, deterministic, scale-safe. */
+  private[graft] def rankedWidthPairs(rows: DataFrame, width: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = rows
+      .select(col("key").cast("long"), col("sort").cast("long"), col("id").cast("long"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(parts, col("key"), col("sort"), col("id"))
+      .sortWithinPartitions("key", "sort", "id")
+    val indexed = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var prevKey = 0L
+      var idx = -1L
+      var have = false
+      it.map { case (k, _, id) =>
+        if (!have || k != prevKey) { idx = 0L; prevKey = k; have = true } else idx += 1
+        (k, id, pid, idx)
+      }
+    }.toDF("key", "id", "pid", "local_idx")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(pid, key) counts are tiny (≤ keys × partitions rows): cumulative
+    // offsets per key in pid order via a window over the aggregate only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy("key", "pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(w), lit(0L)))
+      .select("key", "pid", "offset")
+    val rankedIds = indexed.join(broadcast(offsets), Seq("key", "pid"))
+      .select(col("key"), col("id"), (col("offset") + col("local_idx")).as("rank"))
+    val r = rankedIds.select(col("key"), col("id").as("id_b"), col("rank").as("rank_b"))
+    rankedIds
+      .withColumn("rank_b", explode(expr(s"sequence(rank + 1, rank + $width)")))
+      .join(r, Seq("key", "rank_b"))
+      .select(least(col("id"), col("id_b")).as("id_l"),
+        greatest(col("id"), col("id_b")).as("id_r"), col("key"))
+  }
+
   /** Bucket-size skew report (≙ Splink n_largest_blocks,
     * `person_1/link_model_per.py:531-538`). */
   def largestBuckets(buckets: DataFrame, n: Int): DataFrame =

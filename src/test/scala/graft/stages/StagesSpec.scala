@@ -49,6 +49,24 @@ class StagesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"hot path must not use a per-key window:\n$plan")
   }
 
+  test("PairGen: rankedWidthPairs equals the per-key width-k window pair set") {
+    val width = 3
+    val rows = ((1L to 500L).map(i => (5L, i, graft.expr.Hashing.mix64(i * 13))) ++
+      (1L to 40L).map(i => (9L, 1000L + i, graft.expr.Hashing.mix64(i))))
+    val got = PairGen.rankedWidthPairs(rows.toDF("key", "id", "sort").repartition(8), width)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (k, members) =>
+      val ordered = members.sortBy(r => (r._3, r._2)).map(_._2)
+      ordered.indices.flatMap { i =>
+        ((i + 1) to math.min(i + width, ordered.length - 1)).map { j =>
+          (math.min(ordered(i), ordered(j)), math.max(ordered(i), ordered(j)), k)
+        }
+      }
+    }.toSet
+    assert(got == want,
+      s"missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+  }
+
   test("PairGen: windowed fallback produces the identical pair set") {
     val buckets = ((1L to 5L).map(i => (100L, i, i)) ++
       (1L to 80L).map(i => (300L, 1000L + i, i)) ++ Seq((200L, 9L, 9L)))
