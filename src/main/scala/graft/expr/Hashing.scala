@@ -76,29 +76,58 @@ object Hashing {
     (a, b)
   }
 
-  /** Whitespace tokenizer — the pinned tokenization for shingling. */
-  def tokens(text: String): Array[String] =
-    if (text == null || text.isEmpty) Array.empty
-    else text.trim.split("\\s+").filter(_.nonEmpty)
+  /** Whitespace tokenizer — the pinned tokenization for shingling.
+    * Manual scan (Character.isWhitespace runs), no regex: `split("\\s+")`
+    * recompiles its Pattern on every call, and this runs once per document
+    * per signature expression in the hottest narrow stage. */
+  def tokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.result()
+  }
+
+  /** FNV-1a hash of each token (un-finalized — inputs to [[shingleHashes]]'
+    * per-shingle combine and finalized by mix64 where used directly). */
+  private def tokenHashes(toks: Array[String]): Array[Long] = {
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L
+      var c = 0
+      while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+      th(i) = h
+      i += 1
+    }
+    th
+  }
 
   /** Distinct k-token shingle hashes of a document, one pass, no shuffle
-    * (SURVEY §2.10: signature is a narrow per-document transform). */
+    * (SURVEY §2.10: signature is a narrow per-document transform).
+    * Each token is char-hashed ONCE (not once per overlapping shingle);
+    * a shingle combines its k token hashes order-sensitively. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
     val toks = tokens(text)
     if (toks.length < k) return Array.empty
-    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    shingleHashesOf(tokenHashes(toks), k)
+  }
+
+  private def shingleHashesOf(th: Array[Long], k: Int): Array[Long] = {
+    val seen = new java.util.HashSet[java.lang.Long](th.length * 2)
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
-    while (i <= toks.length - k) {
+    while (i <= th.length - k) {
       var h = 0xcbf29ce484222325L
       var j = 0
-      while (j < k) {
-        val t = toks(i + j)
-        var c = 0
-        while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
-        h ^= 0x1fL; h *= 0x100000001b3L // token separator
-        j += 1
-      }
+      while (j < k) { h = (h ^ th(i + j)) * 0x100000001b3L; j += 1 }
       val hv = mix64(h)
       if (seen.add(hv)) out += hv
       i += 1
@@ -193,12 +222,21 @@ object Hashing {
     if (text == null || text.length < k) return Array.empty
     val n = text.length - k + 1
     val gram = new Array[Long](n)
-    var i = 0
+    // Rabin–Karp rolling polynomial hash, mod 2^64: O(text) total instead
+    // of O(text·k) — the gram hashing was the single hottest loop in the
+    // pipeline (k=25 chars re-hashed per position). mix64 finalizes each
+    // window so raw polynomial structure never reaches the fingerprint.
+    val B = 0x5DEECE66DL // odd base; distinctness comes from mix64 finalize
+    var bk = 1L // B^(k-1) for removing the outgoing char
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * B + text.charAt(j).toLong; j += 1 }
+    gram(0) = mix64(h)
+    var i = 1
     while (i < n) {
-      var h = 0xcbf29ce484222325L
-      var j = i
-      val end = i + k
-      while (j < end) { h ^= text.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+      h = (h - text.charAt(i - 1).toLong * bk) * B + text.charAt(i + k - 1).toLong
       gram(i) = mix64(h)
       i += 1
     }
@@ -209,13 +247,13 @@ object Hashing {
     val deque = new Array[Int](n)
     var head = 0
     var tail = 0 // deque[head until tail) holds increasing gram values
-    var j = 0
-    while (j < n) {
-      while (tail > head && gram(deque(tail - 1)) >= gram(j)) tail -= 1
-      deque(tail) = j; tail += 1
-      if (deque(head) <= j - w) head += 1
-      if (j >= w - 1) sel.add(gram(deque(head)))
-      j += 1
+    var q = 0
+    while (q < n) {
+      while (tail > head && gram(deque(tail - 1)) >= gram(q)) tail -= 1
+      deque(tail) = q; tail += 1
+      if (deque(head) <= q - w) head += 1
+      if (q >= w - 1) sel.add(gram(deque(head)))
+      q += 1
     }
     val out = new Array[Long](sel.size)
     val it = sel.iterator()

@@ -86,7 +86,12 @@ object ScalingBench {
       println(f"""{"docs":$docs,"cores":$cores,"sec_min":${secs.min}%.1f,"docs_per_sec":${docs / secs.min}%.1f}""")
       return
     }
-    val (small, large) = (8, 32)
+    // Level pair is configurable: the default 8→32 spans the box's SMT
+    // oversubscription band (measured capacity ratio only ~3.2-3.9×, not
+    // 4×), while 4→16 stays within true physical capacity and is the
+    // cleaner stand-in for N→4N distinct executors.
+    val small = sys.env.getOrElse("GRAFT_SCALE_SMALL", "8").toInt
+    val large = sys.env.getOrElse("GRAFT_SCALE_LARGE", "32").toInt
     val times = collection.mutable.Map(small -> List.empty[Double], large -> List.empty[Double])
     for (r <- 1 to reps; c <- Seq(small, large)) {
       val sec = runOnce(c, docs)
