@@ -34,7 +34,9 @@ object Pipeline {
     GraftFunctions.register(spark)
     val input = docs.persist()
 
-    val (survivors, holdouts) = ExactDedup.split(input, persistRanked = true)
+    val (survivors, holdouts) =
+      if (cfg.exactDedupByHash) ExactDedup.splitByHash(input, persistHoldouts = true)
+      else ExactDedup.split(input, persistRanked = true)
     val sigs = Signatures.withSignatures(survivors, cfg)
       .select("id", "minhash", "simhash")
       .persist()
@@ -95,7 +97,15 @@ object Pipeline {
   def runLite(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
               substringPass: Boolean = true): DataFrame = {
     GraftFunctions.register(spark)
-    val (survivors, holdouts) = ExactDedup.split(docs, persistRanked = true)
+    // only (id, text) are consumed downstream — dropping url/warc_ts/lang
+    // up front keeps them out of every downstream exchange and cache
+    val projected = docs.select("id", "text")
+    val (survivors0, holdouts) =
+      if (cfg.exactDedupByHash) ExactDedup.splitByHash(projected, persistHoldouts = true)
+      else ExactDedup.split(projected, persistRanked = true)
+    // survivors feed several downstream jobs (signatures, exact verify,
+    // substring) — cache the compact (id, text) form once
+    val survivors = survivors0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures feed bucket explosion AND both sides of the scoring join —
     // 128-perm MinHash is the most expensive narrow transform in the
     // pipeline, computed once, cached
@@ -144,8 +154,11 @@ object Pipeline {
       committed
     }
 
-    val survivors = withLineage("survivors") { ExactDedup.split(docs, "id", "text")._1 }
-    val holdouts = withLineage("holdouts") { ExactDedup.split(docs, "id", "text")._2 }
+    def freshSplit() =
+      if (cfg.exactDedupByHash) ExactDedup.splitByHash(docs, "id", "text")
+      else ExactDedup.split(docs, "id", "text")
+    val survivors = withLineage("survivors") { freshSplit()._1 }
+    val holdouts = withLineage("holdouts") { freshSplit()._2 }
     val sigs = withLineage("signatures") {
       Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash")
     }

@@ -44,6 +44,39 @@ object ExactDedup {
       .select(col(idCol), col("__master").as("master_id"))
     (survivors, holdouts)
   }
+
+  /** Scale-path variant of [[split]]: the window form above shuffles the
+    * ENTIRE corpus text (the widest possible shuffle — at 100 TB that is
+    * 100 TB through one exchange). This form shuffles 24 bytes/row instead:
+    * group on a 128-bit content hash (two independently-seeded xxhash64 —
+    * pair-collision probability ~2^-128, the content-addressing standard;
+    * "exact" dup detection at 10^12 docs is hash-exact by construction,
+    * like every CAS system), then subtract the holdout ids from the corpus
+    * with an anti-join that AQE turns into a broadcast when the holdout set
+    * is small (typical) and a hash join when it is not (10^12-dup corner).
+    * Same contract as [[split]]: survivor = min id per identical text.
+    *
+    * The holdout (id, master) pairs ride the narrow hash table, so the only
+    * full-width data movement left is the survivors' own anti-join — text
+    * never enters a shuffle key or a window sort. */
+  def splitByHash(docs: DataFrame, idCol: String = "id", textCol: String = "text",
+                  persistHoldouts: Boolean = false): (DataFrame, DataFrame) = {
+    val hashed = docs.select(
+      col(idCol),
+      xxhash64(col(textCol)).as("__h1"),
+      xxhash64(col(textCol), lit(0x9e3779b9L)).as("__h2"))
+    val grp = hashed.groupBy("__h1", "__h2")
+      .agg(min(col(idCol)).as("master_id"), count(lit(1)).as("__n"))
+    val holdouts0 = hashed
+      .join(grp.filter(col("__n") > 1), Seq("__h1", "__h2"))
+      .filter(col(idCol) =!= col("master_id"))
+      .select(col(idCol), col("master_id"))
+    val holdouts = if (persistHoldouts)
+      holdouts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else holdouts0
+    val survivors = docs.join(holdouts.select(col(idCol)), Seq(idCol), "left_anti")
+    (survivors, holdouts)
+  }
 }
 
 /** Signature stage (SURVEY §7.2 module 5): Dataset[doc] → doc + minhash +
@@ -471,7 +504,11 @@ object Substring {
         col(idCol).as("id"),
         GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow).as("__fps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fps = withFps.select(col("id"), explode(col("__fps")).as("key"))
+    // docs with fewer than substringMinFps fingerprints can never reach the
+    // shared_fps >= substringMinFps edge bar — keep them out of the explode
+    // (the widest table in the pass) entirely
+    val fps = withFps.filter(size(col("__fps")) >= cfg.substringMinFps)
+      .select(col("id"), explode(col("__fps")).as("key"))
       // (id, key) is distinct by construction: winnow de-dups per doc
       .withColumn("sort", col("id"))
     // per-doc fingerprint counts for the containment-ratio test — computed

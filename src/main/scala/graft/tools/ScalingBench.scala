@@ -68,6 +68,40 @@ object ScalingBench {
     (0 until threads).map(counters.get).sum
   }
 
+  /** Memory-bandwidth capacity at `threads` parallel streamers: bytes
+    * swept in `millis` (each thread strides a private 64 MB long array —
+    * larger than any cache level, so this measures DRAM bandwidth).
+    * Purpose: a shuffle-heavy Spark job is bandwidth-bound in its exchange
+    * stages, and this box's cores share ONE memory subsystem — N→4N
+    * in-box thread scaling is capped by this ratio for those stages, while
+    * 4N real executors bring 4N× memory channels. Reported alongside the
+    * ALU ratio so the efficiency can be read against both ceilings. */
+  private def streamCapacity(threads: Int, millis: Long = 1500L): Long = {
+    val words = (64L << 20) / 8
+    val arrays = Array.fill(threads)(new Array[Long](words.toInt))
+    arrays.foreach { a => var i = 0; while (i < a.length) { a(i) = i.toLong; i += 1 } }
+    val counters = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val a = arrays(t)
+        var sweeps = 0L
+        var acc = 0L
+        while (!stop.get()) {
+          var i = 0
+          while (i < a.length) { acc += a(i); i += 8 } // one touch per 64B line
+          sweeps += 1
+        }
+        counters.set(t, if (acc == 42L) sweeps + 1 else sweeps)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    Thread.sleep(millis)
+    stop.set(true)
+    ts.foreach(_.join())
+    (0 until threads).map(counters.get).sum * (words / 8) * 64
+  }
+
   def main(args: Array[String]): Unit = {
     val docs = if (args.nonEmpty) args(0).toLong else 100000L
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -106,11 +140,18 @@ object ScalingBench {
       val a2 = burnCapacity(small); val b2 = burnCapacity(large)
       (math.max(a1, a2).toDouble, math.max(b1, b2).toDouble)
     }
+    val (memS, memL) = {
+      val a1 = streamCapacity(small); val b1 = streamCapacity(large)
+      val a2 = streamCapacity(small); val b2 = streamCapacity(large)
+      (math.max(a1, a2).toDouble, math.max(b1, b2).toDouble)
+    }
     val hwRatio = capL / capS
+    val memRatio = memL / memS
     val speedup = tS / tL
     val eff = speedup / (large.toDouble / small)
     val effHw = speedup / hwRatio
+    val effMem = speedup / memRatio
     println(
-      f"""{"docs":$docs,"cores_small":$small,"cores_large":$large,"sec_small":$tS%.1f,"sec_large":$tL%.1f,"docs_per_sec_small":${docs / tS}%.1f,"docs_per_sec_large":${docs / tL}%.1f,"speedup":$speedup%.2f,"scaling_efficiency":$eff%.3f,"hw_capacity_ratio":$hwRatio%.2f,"efficiency_vs_hw":$effHw%.3f}""")
+      f"""{"docs":$docs,"cores_small":$small,"cores_large":$large,"sec_small":$tS%.1f,"sec_large":$tL%.1f,"docs_per_sec_small":${docs / tS}%.1f,"docs_per_sec_large":${docs / tL}%.1f,"speedup":$speedup%.2f,"scaling_efficiency":$eff%.3f,"hw_capacity_ratio":$hwRatio%.2f,"efficiency_vs_hw":$effHw%.3f,"hw_mem_bw_ratio":$memRatio%.2f,"efficiency_vs_mem_bw":$effMem%.3f}""")
   }
 }

@@ -17,6 +17,21 @@ class StagesSpec extends SparkSpec {
     assert(h.sameElements(Array((2L, 1L), (3L, 1L))))
   }
 
+  test("ExactDedup: splitByHash (24 B/row scale plan) matches the window plan exactly") {
+    val docs = ((1L to 400L).map(i => (i, s"text ${i % 37}")) ++
+      Seq((1001L, "unique a"), (1002L, "unique b"))).toDF("id", "text")
+    val (sw, hw) = ExactDedup.split(docs)
+    val (sh, hh) = ExactDedup.splitByHash(docs)
+    assert(sh.select("id").as[Long].collect().sorted
+      .sameElements(sw.select("id").as[Long].collect().sorted))
+    assert(hh.as[(Long, Long)].collect().sortBy(_._1)
+      .sameElements(hw.as[(Long, Long)].collect().sortBy(_._1)))
+    // the scale plan must not move text through an exchange: no window, and
+    // text appears in no shuffle key (only the narrow hash projection)
+    val plan = ExactDedup.splitByHash(docs)._2.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hash plan must not window:\n$plan")
+  }
+
   test("PairGen: all pairs for small buckets, chain for hot, none for singles") {
     val small = (1L to 5L).map(i => (100L, i, i)) // one bucket of 5
     val single = Seq((200L, 9L, 9L))
