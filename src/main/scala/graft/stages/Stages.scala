@@ -134,53 +134,70 @@ object PairGen {
             dropHotAbove: Option[Int] = None): DataFrame = {
     val spark = buckets0.sparkSession
     import spark.implicits._
-    // The bucket table (an explode of band hashes / winnow fingerprints —
-    // the widest intermediate in the pipeline) feeds THREE consumers: the
-    // big-key count job below, the all-pairs branch, and the chain branch.
-    // Cache it so the count job materializes it once and the pair-gen job
-    // reads blocks instead of re-running the explode + its upstream
-    // (measured: ~1/3 of end-to-end wall at 400k docs without this).
-    // MEMORY_AND_DISK: spills, never OOMs; at cluster scale this is the
-    // stage you'd snapshot anyway (runResumable does).
-    val buckets = buckets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GraftFunctions.register(spark) // collect_capped (idempotent)
     // Any key NOT taking the all-pairs path: cnt > allPairsCap (chain or
     // dropped) OR cnt > dropHotAbove (dropped). Using the MIN of the two
-    // caps here keeps this plan's key partition identical to
-    // pairsWindowed's (kept = cnt <= dropHotAbove; small = cnt <=
-    // allPairsCap) — the two plans must produce the same edge set for the
-    // same input (determinism guarantee), including when dropHotAbove <
-    // allPairsCap (df-pruning tighter than the all-pairs cap).
-    val bigThreshold = math.min(allPairsCap, dropHotAbove.getOrElse(Int.MaxValue))
-    // One bounded collect (≤ limit+1 rows of (key, cnt)): big keys each hold
-    // > bigThreshold members, so there are at most rows/bigThreshold of them;
-    // if even that exceeds the broadcast limit, fall back to the window plan.
-    val bigArr = buckets.groupBy("key").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > bigThreshold)
+    // caps keeps this plan's key partition identical to pairsWindowed's
+    // (kept = cnt <= dropHotAbove; small = cnt <= allPairsCap) — the two
+    // plans must produce the same edge set for the same input (determinism
+    // guarantee), including when dropHotAbove < allPairsCap.
+    val bigThreshold = math.min(allPairsCap, dropHotAbove.getOrElse(Int.MaxValue - 1))
+    // ONE hash-agg shuffle over the bucket table (the widest intermediate
+    // in the pipeline): per-key member lists capped at bigThreshold + 1
+    // longs. Small keys come out complete and sorted (the all-pairs
+    // input); a key at the cap IS the big-key flag — no separate count
+    // pass. Buffers are bounded, so a 10^7-member boilerplate bucket costs
+    // cap longs of memory, not an OOM. Cached: materialized once by the
+    // big-key collect below, then the small-pairs branch reads blocks.
+    val grouped = buckets0.groupBy("key")
+      .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded collect: big keys each hold > bigThreshold members, so there
+    // are at most rows/bigThreshold of them; if even that exceeds the
+    // broadcast limit, fall back to the window plan.
+    val bigArr = grouped.filter(size(col("ids")) > bigThreshold)
+      .select("key")
       .limit(BroadcastKeyLimit.toInt + 1)
-      .as[(Long, Long)].collect()
-    if (bigArr.length > BroadcastKeyLimit)
-      return pairsWindowed(buckets, allPairsCap, dropHotAbove)
-    val hotArr = dropHotAbove match {
-      case Some(cap) => bigArr.collect { case (k, c) if c > allPairsCap && c <= cap => k }
-      case None => bigArr.map(_._1)
+      .as[Long].collect()
+    if (bigArr.length > BroadcastKeyLimit) {
+      grouped.unpersist()
+      return pairsWindowed(buckets0, allPairsCap, dropHotAbove)
     }
-    val bigKeys = spark.createDataset(bigArr.map(_._1)).toDF("key")
+    // Chain band = keys with allPairsCap < cnt <= dropHotAbove. Empty by
+    // construction unless dropHotAbove > allPairsCap, in which case exact
+    // counts for just the big keys come from one tiny semi-joined count
+    // (big-key rows only — a sliver of the table).
+    val hotArr: Array[Long] = dropHotAbove match {
+      case Some(cap) if cap <= allPairsCap => Array.empty
+      case Some(cap) =>
+        if (bigArr.isEmpty) Array.empty
+        else {
+          val bigDf = spark.createDataset(bigArr.toSeq).toDF("key")
+          buckets0.join(broadcast(bigDf), Seq("key"), "left_semi")
+            .groupBy("key").agg(count(lit(1)).as("__cnt"))
+            .filter(col("__cnt") <= cap)
+            .select("key").as[Long].collect()
+        }
+      case None => bigArr
+    }
     val hotKeys = spark.createDataset(hotArr.toSeq).toDF("key")
 
-    val smallPairs = buckets
-      .join(broadcast(bigKeys), Seq("key"), "left_anti")
-      .groupBy("key").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each
-      // element, pair it with every later element.
+    // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each
+    // element, pair it with every later element. `ids` is complete and
+    // sorted for every key under the cap — no join needed to exclude big
+    // keys, the size filter is the partition.
+    val smallPairs = grouped
+      .filter(size(col("ids")).between(2, bigThreshold))
       .select(col("key"), explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
           .stripMargin)).as("p"))
       .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
 
+    // hot rows re-derive from the (narrow, upstream-cached) bucket source —
+    // a broadcast semi-join sliver, not a second full-table shuffle
     val chainPairs = chainPairsRanged(
-      buckets.join(broadcast(hotKeys), Seq("key"), "left_semi"))
+      buckets0.join(broadcast(hotKeys), Seq("key"), "left_semi"))
 
     smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
   }

@@ -32,6 +32,35 @@ class StagesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"hash plan must not window:\n$plan")
   }
 
+  test("collect_capped: complete+sorted under cap, exactly cap when truncated") {
+    graft.expr.GraftFunctions.register(spark)
+    val rows = ((1L to 100L).map(i => (1L, i)) ++ Seq((2L, 7L), (2L, 3L), (2L, 5L)))
+      .toDF("key", "id").repartition(8)
+    val got = rows.groupBy("key")
+      .agg(graft.expr.GraftFunctions.collectCapped(col("id"), 11).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(2L) == Seq(3L, 5L, 7L)) // complete and sorted
+    assert(got(1L).length == 11)        // truncated at cap = big-key flag
+    assert(got(1L).toSet.subsetOf((1L to 100L).toSet))
+  }
+
+  test("PairGen: chain band when dropHotAbove > allPairsCap (exact counts via sliver job)") {
+    // key A: 10 members (all-pairs), key B: 30 (chain band: > cap 16,
+    // <= dropHot 50), key C: 60 (dropped: > 50)
+    val rows = (1L to 10L).map(i => (1L, i, i)) ++
+      (1L to 30L).map(i => (2L, 100L + i, i)) ++
+      (1L to 60L).map(i => (3L, 1000L + i, i))
+    val pairs = PairGen.pairs(rows.toDF("key", "id", "sort"), allPairsCap = 16,
+      dropHotAbove = Some(50)).as[(Long, Long, Long)].collect()
+    assert(pairs.count(_._3 == 1L) == 45) // C(10,2)
+    assert(pairs.count(_._3 == 2L) == 29) // chain n-1
+    assert(!pairs.exists(_._3 == 3L))     // df-pruned
+    // windowed fallback agrees on the same input
+    val win = PairGen.pairsWindowed(rows.toDF("key", "id", "sort"), 16, Some(50))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(win == pairs.toSet)
+  }
+
   test("PairGen: all pairs for small buckets, chain for hot, none for singles") {
     val small = (1L to 5L).map(i => (100L, i, i)) // one bucket of 5
     val single = Seq((200L, 9L, 9L))
