@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized for the 32-thread bench on this 125 GB box; scaling runs
+  // override per level (memory scales with cores in the N→4N executor
+  // model: a 4-core leg gets 8g, a 16-core leg 32g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.get("SPARK_DRIVER_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -7,13 +7,18 @@ import graft.stages._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only per-stage wall profiler. */
+/** Dev-only per-stage wall profiler — mirrors `Pipeline.runLite`'s actual
+  * plan (hash-based exact dedup, exact verify, substring union) with each
+  * stage materialized separately so the wall attributes to stages. The
+  * per-stage sum exceeds one fused end-to-end run (extra actions +
+  * materializations); use `graft.Bench` for the end-to-end number. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_PARTS", "8"))
       .config("spark.ui.enabled", "false")
+    val spark = graft.Bench.localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
@@ -26,18 +31,26 @@ object Profile {
     }
 
     val corpus = t("generate+persist") {
-      val c = Corpus.generate(spark, n).select("id", "url", "warc_ts", "text", "lang").persist()
+      val c = Corpus.generate(spark, n).select("id", "text").persist()
       c.count(); c
     }
-    val (survivors0, holdouts) = ExactDedup.split(corpus)
-    val survivors = t("exactdup") { val s = survivors0.persist(); s.count(); s }
+    val (survivors0, holdouts) =
+      if (cfg.exactDedupByHash) ExactDedup.splitByHash(corpus, persistHoldouts = true)
+      else ExactDedup.split(corpus, persistRanked = true)
+    val survivors = t("exactdup") {
+      val s = survivors0.persist(); s.count(); s
+    }
     t("holdouts") { holdouts.count() }
     val sigs = t("signatures") {
       val s = Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash").persist()
       s.count(); s
     }
     val cand = t("blocking") { val c = Blocking.candidatePairs(sigs, cfg).persist(); c.count(); c }
-    val scored = t("scoring") { val s = Scoring.score(cand, sigs, cfg).persist(); s.count(); s }
+    val scored = t("scoring+verify") {
+      val raw = Scoring.score(cand, sigs, cfg)
+      val s = (if (cfg.exactVerify) Scoring.exactVerify(raw, survivors, cfg) else raw).persist()
+      s.count(); s
+    }
     val sub = t("substring") { val s = Substring.edges(survivors, cfg).persist(); s.count(); s }
     val edges = Scoring.edges(scored).unionByName(sub.select("src", "dst")).persist()
     t("edges-union") { edges.count() }
