@@ -44,6 +44,29 @@ class StagesSpec extends SparkSpec {
     assert(got(1L).toSet.subsetOf((1L to 100L).toSet))
   }
 
+  test("collect_capped: identical results on the sort-based fallback path") {
+    // ObjectHashAggregate falls back to sort-based merging beyond
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold in-memory
+    // keys — the plan every big corpus runs. Force it at threshold=2 and
+    // pin equality with the hash path (exercises serialize/deserialize).
+    graft.expr.GraftFunctions.register(spark)
+    val rows = (1L to 2000L).map(i => (i % 97, i)).toDF("key", "id").repartition(8)
+    def agg() = rows.groupBy("key")
+      .agg(graft.expr.GraftFunctions.collectCapped(col("id"), 64).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hashPath = agg()
+    val prev = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    try {
+      val sortPath = agg()
+      assert(sortPath == hashPath)
+      assert(sortPath(0L).length == 20 && sortPath(0L) == sortPath(0L).sorted)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+      case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    }
+  }
+
   test("PairGen: chain band when dropHotAbove > allPairsCap (exact counts via sliver job)") {
     // key A: 10 members (all-pairs), key B: 30 (chain band: > cap 16,
     // <= dropHot 50), key C: 60 (dropped: > 50)
