@@ -24,16 +24,22 @@ object Profile {
     GraftFunctions.register(spark)
     val cfg = EngineConfig.default
     val n = if (args.nonEmpty) args(0).toLong else 2000L
+    // pass 1 pays JIT (the signature kernels run interpreted until C2
+    // compiles them — measured 3-6x slower); pass 2 is the steady state a
+    // long-running job lives in. Both print; read pass 2.
+    val passes = if (args.length > 1) args(1).toInt else 2
+
+    var pass = 1
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[stage] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"[stage] pass $pass $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val corpus = t("generate+persist") {
-      val c = Corpus.generate(spark, n).select("id", "text").persist()
-      c.count(); c
-    }
+    val corpus0 = Corpus.generate(spark, n).select("id", "text").persist()
+    corpus0.count()
+    while (pass <= passes) {
+    val corpus = corpus0
     val (survivors0, holdouts) =
       if (cfg.exactDedupByHash) ExactDedup.splitByHash(corpus, persistHoldouts = true)
       else ExactDedup.split(corpus, persistRanked = true)
@@ -63,6 +69,12 @@ object Profile {
         holdouts("master_id") === col("__sid"), "left")
         .select(col("id"), coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
       cc.unionByName(h).agg(countDistinct("cluster_id")).head()
+    }
+    // drop every cache except the input so the next pass is a cold
+    // end-to-end run of warm code
+    spark.sharedState.cacheManager.clearCache()
+    corpus0.persist(); corpus0.count()
+    pass += 1
     }
     spark.stop()
   }
