@@ -207,8 +207,11 @@ object Pipeline {
       s""""winnowK":${cfg.winnowK},"winnowWindow":${cfg.winnowWindow},""" +
       s""""substringMinFps":${cfg.substringMinFps},"substringMinRatio":${cfg.substringMinRatio},""" +
       s""""substringDfCap":${cfg.substringDfCap},"allPairsCap":${cfg.allPairsCap},""" +
-      s""""extractor":"${TextExtract.version}"}"""
-      // ccFastPathMaxEdges / reliableCheckpoints / maxCcIterations are
-      // deliberately EXCLUDED: they change the execution plan, never the
-      // output (spec-pinned), so flipping them must still reuse snapshots
+      s""""extractor":"${TextExtract.version}","kernels":"${graft.expr.Hashing.kernelVersion}"}"""
+      // ccFastPathMaxEdges / reliableCheckpoints / maxCcIterations /
+      // exactDedupByHash are deliberately EXCLUDED: they change the
+      // execution plan, never the output (spec-pinned), so flipping them
+      // must still reuse snapshots. The hashing-kernel version IS included
+      // (like the extractor version): kernel output changes must invalidate
+      // old signature snapshots, not silently mix with them.
 }

@@ -16,6 +16,15 @@ import graft.model.EngineConfig
   */
 object Hashing {
 
+  /** Version tag of the hashing kernels, bumped whenever any kernel's
+    * OUTPUT changes (tokenizer class, shingle combine, winnow gram hash,
+    * …). Part of the snapshot config fingerprint (`Pipeline.configJson`)
+    * so a resumed run never silently mixes snapshots computed by
+    * different kernel generations — same contract as
+    * `TextExtract.version`. "h2" = rolling-hash winnow + per-token
+    * shingle combine (2026-08-17); "h1" = the round-1 direct-hash forms. */
+  val kernelVersion: String = "h2"
+
   /** Mersenne prime 2^61 - 1 for the universal-hash permutation family. */
   val MersennePrime: Long = (1L << 61) - 1
 
@@ -76,19 +85,26 @@ object Hashing {
     (a, b)
   }
 
+  /** The pinned whitespace class: exactly Java regex `\s` = [ \t\n\x0B\f\r]
+    * (ASCII-only). The manual scanner below must not silently widen the
+    * pinned tokenization to Unicode whitespace — a doc containing U+2028
+    * etc. would change its shingles and signatures. */
+  @inline private def isSpace(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
   /** Whitespace tokenizer — the pinned tokenization for shingling.
-    * Manual scan (Character.isWhitespace runs), no regex: `split("\\s+")`
-    * recompiles its Pattern on every call, and this runs once per document
-    * per signature expression in the hottest narrow stage. */
+    * Manual scan, no regex: `split("\\s+")` recompiles its Pattern on
+    * every call, and this runs once per document per signature expression
+    * in the hottest narrow stage. Token boundaries are byte-for-byte the
+    * regex `\s+` split's. */
   def tokens(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
     val n = text.length
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isSpace(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isSpace(text.charAt(i))) i += 1
       if (i > start) out += text.substring(start, i)
     }
     out.result()

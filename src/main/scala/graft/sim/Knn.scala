@@ -223,10 +223,15 @@ object Knn {
       while (j < v.length) { dot += p(j) * v(j); j += 1 }
       (dot * (1L << 32).toDouble).toLong // monotone long for PairGen's sort
     })
+    // cache the bucket frame: PairGen's grouped aggregate AND its
+    // hot-bucket chain branch both consume it, and the keysUdf explode
+    // (tables×bits dot products per vector) is the most expensive narrow
+    // op in the vector path — without the cache it would run per consumer
     val buckets = embeddings.select(
       explode(keysUdf(col("embedding"))).as("key"),
       col("vec_id").as("id"),
       projUdf(col("embedding")).as("sort"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = graft.stages.PairGen.pairs(buckets, allPairsCap)
       .select("id_l", "id_r").distinct() // same pair found by several tables
     val e = embeddings.select(col("vec_id"), col("embedding"))

@@ -61,14 +61,23 @@ object ExactDedup {
     * never enters a shuffle key or a window sort. */
   def splitByHash(docs: DataFrame, idCol: String = "id", textCol: String = "text",
                   persistHoldouts: Boolean = false): (DataFrame, DataFrame) = {
-    val hashed = docs.select(
+    // Two independent 64-bit hashes: the salt literal goes FIRST, so the
+    // second hash runs over the text with a genuinely different seed
+    // (xxhash64 folds columns left-to-right with the running hash as seed
+    // — text-then-salt would make __h2 a pure function of __h1, collapsing
+    // the pair to 64 bits). NULL text hashes over '' with an explicit
+    // __hn marker column, so null-text duplicates group together, join
+    // with plain equality (no null-rejecting key), and stay distinct from
+    // empty-string text — exactly the window plan's partition semantics.
+    val keyed = docs.select(
       col(idCol),
-      xxhash64(col(textCol)).as("__h1"),
-      xxhash64(col(textCol), lit(0x9e3779b9L)).as("__h2"))
-    val grp = hashed.groupBy("__h1", "__h2")
+      xxhash64(coalesce(col(textCol), lit(""))).as("__h1"),
+      xxhash64(lit(0x9e3779b9L), coalesce(col(textCol), lit(""))).as("__h2"),
+      isnull(col(textCol)).as("__hn"))
+    val grp = keyed.groupBy("__h1", "__h2", "__hn")
       .agg(min(col(idCol)).as("master_id"), count(lit(1)).as("__n"))
-    val holdouts0 = hashed
-      .join(grp.filter(col("__n") > 1), Seq("__h1", "__h2"))
+    val holdouts0 = keyed
+      .join(grp.filter(col("__n") > 1), Seq("__h1", "__h2", "__hn"))
       .filter(col(idCol) =!= col("master_id"))
       .select(col(idCol), col("master_id"))
     val holdouts = if (persistHoldouts)
@@ -521,11 +530,11 @@ object Substring {
         col(idCol).as("id"),
         GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow).as("__fps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // docs with fewer than substringMinFps fingerprints can never reach the
-    // shared_fps >= substringMinFps edge bar — keep them out of the explode
-    // (the widest table in the pass) entirely
-    val fps = withFps.filter(size(col("__fps")) >= cfg.substringMinFps)
-      .select(col("id"), explode(col("__fps")).as("key"))
+    // NOTE: no "low-fp docs can't form edges" pre-filter here — removing a
+    // doc from the bucket table changes bucket cardinalities (df-cap
+    // pruning decisions) and chain adjacency for the REMAINING docs, so
+    // the filter is not output-neutral at boundary corpora.
+    val fps = withFps.select(col("id"), explode(col("__fps")).as("key"))
       // (id, key) is distinct by construction: winnow de-dups per doc
       .withColumn("sort", col("id"))
     // per-doc fingerprint counts for the containment-ratio test — computed

@@ -18,8 +18,12 @@ class StagesSpec extends SparkSpec {
   }
 
   test("ExactDedup: splitByHash (24 B/row scale plan) matches the window plan exactly") {
+    // includes the null/empty corner: null-text docs must dedup together
+    // (window semantics) yet stay distinct from empty-string text
     val docs = ((1L to 400L).map(i => (i, s"text ${i % 37}")) ++
-      Seq((1001L, "unique a"), (1002L, "unique b"))).toDF("id", "text")
+      Seq((1001L, "unique a"), (1002L, "unique b"),
+        (1003L, null.asInstanceOf[String]), (1004L, null.asInstanceOf[String]),
+        (1005L, ""), (1006L, ""))).toDF("id", "text")
     val (sw, hw) = ExactDedup.split(docs)
     val (sh, hh) = ExactDedup.splitByHash(docs)
     assert(sh.select("id").as[Long].collect().sorted
