@@ -112,4 +112,29 @@ final case class EngineConfig(
 
 object EngineConfig {
   val default: EngineConfig = EngineConfig()
+
+  /** Banding auto-tuner: pick (bands, rowsPerBand) for a target Jaccard
+    * threshold — the engine-side analog of Splink's threshold-centric
+    * model config (the reference picks `match_probability >= 0.95` and
+    * lets the model place the boundary; here the LSH S-curve IS the
+    * model). For each divisor pair b·r = numPerms the candidate-capture
+    * S-curve crosses 1/2 at s* ≈ (1/b)^(1/r); choose the pair whose s* is
+    * CLOSEST to `threshold` (ties break toward the lower s* — recall
+    * side; the divisor grid is sparse, so "at-or-below" would jump from
+    * 0.707 to 0.42 for a 0.7 target and over-generate candidates ~10×).
+    * The exact-Jaccard verify stage cleans false positives downstream
+    * either way.
+    *
+    * forThreshold(0.7) on 128 perms returns the default 16×8 banding
+    * (s* = 2^-0.5 ≈ 0.707). */
+  def forThreshold(threshold: Double, base: EngineConfig = default): EngineConfig = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    val sStar = (1 to base.numPerms)
+      .filter(base.numPerms % _ == 0)
+      .map(b => ((b, base.numPerms / b), math.pow(1.0 / b, 1.0 / (base.numPerms / b))))
+    val ((b, r), _) = sStar.minBy { case (_, s) =>
+      (math.abs(s - threshold), s) // closest; tie → lower s* (recall side)
+    }
+    base.copy(bands = b, rowsPerBand = r, jaccardThreshold = threshold)
+  }
 }
