@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print a machine-parsed JSON result line. sbt's
+// default LoggedOutput decorates every forked-stdout line with "[info] ",
+// which breaks a line-oriented JSON parser — StdoutOutput inherits the
+// parent stdout verbatim instead. showSuccess drops the trailing
+// "[success] Total time ..." line so the JSON stays the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,15 +57,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline queries: one timed pass each; failures are recorded as null,
-    // never silently folded into a timing (a broken query must not look
-    // like a bench datapoint)
+    // headline queries: one warm-up pass (discarded — pays JIT + parquet
+    // footer reads + co-tenant noise) then min of 2 timed passes. Single
+    // samples in this sandbox vary up to 5× between runs of identical code
+    // (round-2 artifact: q22 16.3 s recorded vs 3.4 s same code in a calm
+    // window), which reads as a fake regression; the min-of-2-after-warm
+    // discipline matches the corpus metric's min-of-reps. Failures are
+    // recorded as null, never silently folded into a timing.
     val qs = SparkEntry.queries
+    val QueryReps = 2
     val results: Seq[(String, Option[Double])] = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
       try {
-        qs(name)(spark, sfDir).count()
-        name -> Some((System.nanoTime() - t0) / 1e9)
+        qs(name)(spark, sfDir).count() // warm-up, discarded
+        val secs = (1 to QueryReps).map { _ =>
+          val t0 = System.nanoTime()
+          qs(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> Some(secs.min)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

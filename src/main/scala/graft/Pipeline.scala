@@ -27,31 +27,42 @@ object Pipeline {
       lineage: DataFrame,     // per-cluster-member gammas + match_type label
       metrics: DataFrame)     // per-stage counters
 
+  /** Release the engine's internal persisted intermediates for this
+    * session (see [[graft.stages.IntermediateCaches]]). Call after fully
+    * consuming the lazy results of [[run]]/[[runLite]] (or any operator
+    * that documents tracked caches) in a long-lived session — repeated
+    * pipeline invocations otherwise accumulate cached blocks. Touches ONLY
+    * engine-created caches, never the caller's. */
+  def clearIntermediateCaches(spark: SparkSession): Unit = IntermediateCaches.clear(spark)
+
   /** Run over a doc table with columns (id:long, text:string, url, warc_ts,
-    * lang). Use [[fromPages]] first if starting from raw html. */
+    * lang). Use [[fromPages]] first if starting from raw html.
+    *
+    * Cache contract: internal intermediates are persisted and tracked;
+    * call [[clearIntermediateCaches]] once the Result frames are consumed. */
   def run(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
           substringPass: Boolean = true): Result = {
     GraftFunctions.register(spark)
-    val input = docs.persist()
+    val input = IntermediateCaches.persistTracked(docs)
 
     val (survivors, holdouts) =
       if (cfg.exactDedupByHash) ExactDedup.splitByHash(input, persistHoldouts = true)
       else ExactDedup.split(input, persistRanked = true)
-    val sigs = Signatures.withSignatures(survivors, cfg)
-      .select("id", "minhash", "simhash")
-      .persist()
+    val sigs = IntermediateCaches.persistTracked(
+      Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash"))
 
-    val candidates = Blocking.candidatePairs(sigs, cfg).persist()
+    val candidates = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
     val rawScored = Scoring.score(candidates, sigs, cfg)
-    val scored = (if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
-      else rawScored).persist()
+    val scored = IntermediateCaches.persistTracked(
+      if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg) else rawScored)
     val simEdges = Scoring.edges(scored)
     val subEdges =
       if (substringPass) Substring.edges(survivors, cfg)
       else spark.emptyDataFrame
         .withColumn("src", lit(0L)).withColumn("dst", lit(0L))
         .withColumn("shared_fps", lit(0L)).limit(0)
-    val allEdges = simEdges.unionByName(subEdges.select("src", "dst")).persist()
+    val allEdges = IntermediateCaches.persistTracked(
+      simEdges.unionByName(subEdges.select("src", "dst")))
 
     // cluster survivors; holdouts re-attach via master (J4 semantics:
     // cluster of master, falling back to own master id,
@@ -105,13 +116,12 @@ object Pipeline {
       else ExactDedup.split(projected, persistRanked = true)
     // survivors feed several downstream jobs (signatures, exact verify,
     // substring) — cache the compact (id, text) form once
-    val survivors = survivors0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = IntermediateCaches.persistTracked(survivors0)
     // signatures feed bucket explosion AND both sides of the scoring join —
     // 128-perm MinHash is the most expensive narrow transform in the
     // pipeline, computed once, cached
-    val sigs = Signatures.withSignatures(survivors, cfg)
-      .select("id", "minhash", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = IntermediateCaches.persistTracked(
+      Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash"))
     val candidates = Blocking.candidatePairs(sigs, cfg)
     val rawScored = Scoring.score(candidates, sigs, cfg)
     val scored = if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)

@@ -94,8 +94,13 @@ object Hashing {
   /** Whitespace tokenizer — the pinned tokenization for shingling.
     * Manual scan, no regex: `split("\\s+")` recompiles its Pattern on
     * every call, and this runs once per document per signature expression
-    * in the hottest narrow stage. Token boundaries are byte-for-byte the
-    * regex `\s+` split's. */
+    * in the hottest narrow stage. Token boundaries follow the regex `\s+`
+    * split over the RAW string. NOTE (intentional behavior change,
+    * versioned as kernel "h2"): the h1 tokenizer called `.trim` first,
+    * which also stripped leading/trailing control chars ≤ U+0020 outside
+    * the `\s` class (NUL, BEL, …) — such documents tokenize (and sign)
+    * differently under h2, which is why [[kernelVersion]] participates in
+    * the snapshot config fingerprint. */
   def tokens(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]

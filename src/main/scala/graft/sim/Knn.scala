@@ -25,9 +25,26 @@ object Knn {
     }
   }
 
+  /** Per-JVM lazy plane cache: plane (b, i) is a pure function of
+    * (b, i, seed) — independent of dim — so generating planes ON the
+    * executor at first use (keyed by the incoming vector's length) yields
+    * bit-identical values to the old driver-side generate-and-broadcast,
+    * WITHOUT the `select(size(embedding)).head()` driver action the old
+    * probe cost every lshTop1/embedDedup call (serial job latency — the
+    * Amdahl term). The probe also threw NoSuchElementException on an empty
+    * embeddings table; with no probe, empty in → empty out naturally. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+  private def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    planeCache.computeIfAbsent((dim, bits, seed),
+      _ => hyperplanes(dim, bits, seed))
+  }
+
   /** LSH-bucketed top-1 neighbour: bucket by hyperplane sign bits, compare
-    * only within buckets. Vectors whose bucket is a singleton get nn_id -1
-    * (honest "not found" — a production caller would multi-probe).
+    * only within buckets. Vectors whose bucket is a singleton multi-probe
+    * the nearest neighbouring bucket (lowest-|dot| sign bit flipped); only
+    * if that bucket is hot or empty too does the answer stay nn_id -1
+    * (honest "not found").
     *
     * Skew control (same problem PairGen solves for text): an uncapped
     * within-bucket self-join is quadratic in bucket size, so one hot bucket
@@ -45,13 +62,11 @@ object Knn {
   def lshTop1(spark: SparkSession, embeddings: DataFrame, cfg: EngineConfig,
               bits: Int = 8, bucketCap: Int = 256, chainWidth: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    // bits sign planes + 1 extra plane for the hot-bucket ordering
-    val planes = hyperplanes(dim, bits + 1, cfg.seed)
-    val planesB = spark.sparkContext.broadcast(planes)
+    val seed = cfg.seed
+    // bits sign planes + 1 extra plane for the hot-bucket ordering; planes
+    // materialize lazily per executor ([[planesFor]]) — no driver dim probe
     val bucketUdf = udf((v: Seq[Float]) => {
-      val ps = planesB.value
+      val ps = planesFor(v.length, bits + 1, seed)
       var b = 0
       var i = 0
       while (i < bits) {
@@ -63,8 +78,28 @@ object Knn {
       }
       b
     })
+    // multi-probe neighbour bucket: flip the sign bit whose hyperplane dot
+    // has the smallest |magnitude| — the vector sits closest to that
+    // boundary, so the flipped bucket is its likeliest second home
+    val probeUdf = udf((v: Seq[Float]) => {
+      val ps = planesFor(v.length, bits + 1, seed)
+      var b = 0
+      var minAbs = Double.MaxValue
+      var minBit = 0
+      var i = 0
+      while (i < bits) {
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += ps(i)(j) * v(j); j += 1 }
+        if (dot >= 0) b |= (1 << i)
+        val a = math.abs(dot)
+        if (a < minAbs) { minAbs = a; minBit = i }
+        i += 1
+      }
+      b ^ (1 << minBit)
+    })
     val projUdf = udf((v: Seq[Float]) => {
-      val p = planesB.value(bits)
+      val p = planesFor(v.length, bits + 1, seed)(bits)
       var dot = 0.0
       var j = 0
       while (j < v.length) { dot += p(j) * v(j); j += 1 }
@@ -74,14 +109,29 @@ object Knn {
       .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
     // hot-bucket key set is tiny by construction (each holds > bucketCap
     // members ⇒ ≤ n/bucketCap keys) — broadcast-safe
-    val hotBuckets = bucketed.groupBy("bucket").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > bucketCap).select("bucket")
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("__cnt"))
+    val hotBuckets = counts.filter(col("__cnt") > bucketCap).select("bucket")
 
     val cold = bucketed.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
     val coldPairs = cold
       .join(cold.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("emb_b")),
         Seq("bucket"))
       .filter(col("vec_id") =!= col("nid"))
+      .select("vec_id", "embedding", "nid", "emb_b")
+
+    // singleton multi-probe: a vector alone in its bucket has NO in-bucket
+    // candidate and previously answered nn_id = -1. It probes the flipped
+    // bucket as a QUERY only (it stays data in its own bucket, so nobody
+    // else's result changes). Data side restricted to cold buckets: each
+    // probe contributes ≤ bucketCap pairs — bounded; a hot probe target is
+    // skipped (rare: a singleton adjacent to a mega-bucket).
+    val singles = bucketed
+      .join(broadcast(counts.filter(col("__cnt") === 1).select("bucket")),
+        Seq("bucket"), "left_semi")
+      .select(col("vec_id"), col("embedding"), probeUdf(col("embedding")).as("bucket"))
+    val probePairs = singles
+      .join(cold.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("emb_b")),
+        Seq("bucket"))
       .select("vec_id", "embedding", "nid", "emb_b")
 
     // width-k chain over the global (bucket, projection, id) order via
@@ -103,7 +153,7 @@ object Knn {
       col("nid").as("vec_id"), col("emb_b").as("embedding"),
       col("vec_id").as("nid"), col("embedding").as("emb_b")))
 
-    val within = coldPairs.unionByName(hotPairs)
+    val within = coldPairs.unionByName(hotPairs).unionByName(probePairs)
       .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
       .groupBy("vec_id").agg(max_by(col("nid"), col("cos")).as("nn_id"))
     bucketed.select("vec_id")
@@ -192,12 +242,12 @@ object Knn {
                  seed: Long = 42L, allPairsCap: Int = 64): DataFrame = {
     GraftFunctions.register(spark)
     require(bits <= 24, "bucket bits must leave room for the table index")
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    // tables*bits sign planes + 1 shared plane for hot-bucket ordering
-    val planes = hyperplanes(dim, tables * bits + 1, seed)
-    val planesB = spark.sparkContext.broadcast(planes)
+    // tables*bits sign planes + 1 shared plane for hot-bucket ordering;
+    // generated lazily per executor (no driver dim-probe action, and an
+    // empty embeddings table now yields an empty result instead of a
+    // NoSuchElementException from .head())
     val keysUdf = udf((v: Seq[Float]) => {
-      val ps = planesB.value
+      val ps = planesFor(v.length, tables * bits + 1, seed)
       val out = new Array[Long](tables)
       var t = 0
       while (t < tables) {
@@ -217,7 +267,7 @@ object Knn {
       out
     })
     val projUdf = udf((v: Seq[Float]) => {
-      val p = planesB.value(tables * bits)
+      val p = planesFor(v.length, tables * bits + 1, seed)(tables * bits)
       var dot = 0.0
       var j = 0
       while (j < v.length) { dot += p(j) * v(j); j += 1 }
@@ -227,11 +277,10 @@ object Knn {
     // hot-bucket chain branch both consume it, and the keysUdf explode
     // (tables×bits dot products per vector) is the most expensive narrow
     // op in the vector path — without the cache it would run per consumer
-    val buckets = embeddings.select(
+    val buckets = graft.stages.IntermediateCaches.persistTracked(embeddings.select(
       explode(keysUdf(col("embedding"))).as("key"),
       col("vec_id").as("id"),
-      projUdf(col("embedding")).as("sort"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      projUdf(col("embedding")).as("sort")))
     val cand = graft.stages.PairGen.pairs(buckets, allPairsCap)
       .select("id_l", "id_r").distinct() // same pair found by several tables
     val e = embeddings.select(col("vec_id"), col("embedding"))

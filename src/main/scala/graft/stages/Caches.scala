@@ -1,0 +1,43 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Registry of the engine's internal persisted intermediates.
+  *
+  * Several operators persist intermediate frames whose consumers are LAZY
+  * (the returned DataFrame still references the cached blocks for
+  * recompute), so the operator itself can never safely unpersist them. In
+  * a long-lived session, repeated calls would otherwise accumulate cached
+  * blocks until a global `clearCache()` — which also evicts the CALLER's
+  * caches. This registry tracks exactly the engine-created intermediates
+  * per session so [[clear]] can drop them and nothing else.
+  *
+  * Contract for library callers: after fully consuming the result of
+  * `Pipeline.run`/`runLite`, `Substring.edges`, `PairGen.pairs`,
+  * `Knn.embedDedup` (an action has run and the output is materialized or
+  * persisted by the caller), call `Pipeline.clearIntermediateCaches(spark)`
+  * to release the engine's internal blocks. Clearing earlier is safe but
+  * forces recomputation if the lazy result is re-evaluated.
+  */
+private[graft] object IntermediateCaches {
+  private val tracked = new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+
+  /** Persist `df` at `level` and register it for later [[clear]]. */
+  def persistTracked(df: DataFrame,
+                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val out = df.persist(level)
+    tracked.synchronized {
+      var lst = tracked.get(df.sparkSession)
+      if (lst == null) { lst = new java.util.ArrayList[DataFrame](); tracked.put(df.sparkSession, lst) }
+      lst.add(out)
+    }
+    out
+  }
+
+  /** Unpersist (non-blocking) every tracked intermediate of this session. */
+  def clear(spark: SparkSession): Unit = {
+    val lst = tracked.synchronized(tracked.remove(spark))
+    if (lst != null) lst.forEach(df => try df.unpersist(false) catch { case _: Throwable => () })
+  }
+}

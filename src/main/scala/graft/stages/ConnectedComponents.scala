@@ -84,7 +84,10 @@ object ConnectedComponents {
       // on the driver, zero distributed rounds. Big graph: the limit
       // short-circuits early and the loop below pays one count to finish
       // cache materialization.
-      val bound = math.min(fastPathMaxEdges, Int.MaxValue - 2L).toInt
+      // 100M-edge ceiling regardless of config: beyond it the union-find
+      // arrays outgrow any sane driver heap, so the distributed loop is the
+      // only correct plan even if the caller sets a larger fast-path bound
+      val bound = math.min(fastPathMaxEdges, 100000000L).toInt
       val arr = e.limit(bound + 1).as[(Long, Long)].collect()
       if (arr.length <= bound) {
         e.unpersist()
@@ -103,12 +106,13 @@ object ConnectedComponents {
     val edgeCount = e.count()
     if (debugTiming)
       println(f"[cc] input materialize ($edgeCount edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
-    while (!converged && iter < maxIterations) {
-      val iterT0 = System.nanoTime()
+    // one large-star + small-star round as a lazy transform (Kiveris et
+    // al.): input and output both in canonical src > dst orientation
+    def starRound(cur: DataFrame): DataFrame = {
       // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every
       // strictly-larger neighbour to m.
-      val bi = e.select($"src", $"dst")
-        .unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      val bi = cur.select($"src", $"dst")
+        .unionAll(cur.select($"dst".as("src"), $"src".as("dst")))
       val mins = bi.groupBy("src").agg(min($"dst").as("mn"))
         .select($"src", least($"src", $"mn").as("m"))
       val large = bi.join(mins, "src")
@@ -120,11 +124,24 @@ object ConnectedComponents {
       // m = min of its smaller neighbourhood ∪ itself; connect the rest to m.
       val sMins = large.groupBy("src").agg(min($"dst").as("m"))
       val joined = large.join(sMins, "src")
-      val small = cut(joined.filter($"dst" =!= $"m")
+      joined.filter($"dst" =!= $"m")
         .select($"dst".as("src"), $"m".as("dst"))
         .unionAll(sMins.select($"src", $"m".as("dst")))
         .filter($"src" =!= $"dst")
-        .distinct())
+        .distinct()
+    }
+
+    while (!converged && iter < maxIterations) {
+      val iterT0 = System.nanoTime()
+      // TWO star rounds per convergence action: each action is one serial
+      // job submission (driver scheduling + plan compile — the
+      // size-independent Amdahl term that caps N→4N efficiency), and a
+      // typical run needs 4-6 rounds, so checking every other round halves
+      // the action count. Convergence stays exact: a converged graph is a
+      // fixpoint of starRound, so its signature is unchanged by one round
+      // or two; at worst one extra (no-op) round runs after the true
+      // fixpoint. The lineage cut lands once per double-round.
+      val small = cut(starRound(starRound(e)))
 
       // convergence signature: summands bounded by 2^32 so the ANSI-mode
       // sum cannot overflow below ~2^31 edges per partition-set
@@ -139,7 +156,7 @@ object ConnectedComponents {
       e = small.persist(StorageLevel.MEMORY_AND_DISK)
       iter += 1
       if (debugTiming)
-        println(f"[cc] iter $iter: ${(System.nanoTime() - iterT0) / 1e9}%.2f s, sig=$sig")
+        println(f"[cc] iter $iter (2 star rounds): ${(System.nanoTime() - iterT0) / 1e9}%.2f s, sig=$sig")
     }
 
     // star graph: every src points at its component's min id; roots appear
@@ -159,9 +176,17 @@ object ConnectedComponents {
   private[stages] def driverUnionFind(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val maxNodes = edges.length * 2
     // open-addressing map: ids[slot] holds the node id (EMPTY = free),
-    // idx[slot] its dense index; capacity = next pow2 ≥ 2×maxNodes
-    var cap = 16
-    while (cap < maxNodes * 2) cap <<= 1
+    // idx[slot] its dense index; capacity = next pow2 ≥ 2×maxNodes.
+    // Capacity math in Long: at a (misconfigured) fastPathMaxEdges near
+    // Int.MaxValue, Int arithmetic would overflow negative, exit this loop
+    // at cap=16 and turn indexOf's probe into an infinite loop once the 16
+    // slots fill — a silent driver hang instead of a clean failure.
+    var capL = 16L
+    while (capL < maxNodes.toLong * 2) capL <<= 1
+    require(capL <= (1L << 30),
+      s"driver union-find capacity $capL exceeds array limits (${edges.length} edges); " +
+        "lower ccFastPathMaxEdges")
+    val cap = capL.toInt
     val used = new Array[Boolean](cap) // explicit occupancy: no sentinel id
     val ids = new Array[Long](cap)
     val slotIdx = new Array[Int](cap)

@@ -37,7 +37,7 @@ object ExactDedup {
       .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
       .withColumn("__master", min(col(idCol)).over(w))
     val ranked = if (persistRanked)
-      ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IntermediateCaches.persistTracked(ranked0)
     else ranked0
     val survivors = ranked.filter(col("__rn") === 1).drop("__rn", "__master")
     val holdouts = ranked.filter(col("__rn") > 1)
@@ -81,7 +81,7 @@ object ExactDedup {
       .filter(col(idCol) =!= col("master_id"))
       .select(col(idCol), col("master_id"))
     val holdouts = if (persistHoldouts)
-      holdouts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IntermediateCaches.persistTracked(holdouts0)
     else holdouts0
     val survivors = docs.join(holdouts.select(col(idCol)), Seq(idCol), "left_anti")
     (survivors, holdouts)
@@ -158,9 +158,8 @@ object PairGen {
     // pass. Buffers are bounded, so a 10^7-member boilerplate bucket costs
     // cap longs of memory, not an OOM. Cached: materialized once by the
     // big-key collect below, then the small-pairs branch reads blocks.
-    val grouped = buckets0.groupBy("key")
-      .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = IntermediateCaches.persistTracked(buckets0.groupBy("key")
+      .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids")))
     // Bounded collect: big keys each hold > bigThreshold members, so there
     // are at most rows/bigThreshold of them; if even that exceeds the
     // broadcast limit, fall back to the window plan.
@@ -266,7 +265,7 @@ object PairGen {
         }
       }
     }.toDF("kind", "key", "pid", "a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IntermediateCaches.persistTracked(tagged) // persist returns `this`
     val within = tagged.filter(col("kind") === 0)
       .select(least(col("a"), col("b")).as("id_l"),
         greatest(col("a"), col("b")).as("id_r"), col("key"))
@@ -342,7 +341,7 @@ object PairGen {
         (k, id, pid, idx)
       }
     }.toDF("key", "id", "pid", "local_idx")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IntermediateCaches.persistTracked(indexed) // persist returns `this`
     // per-(pid, key) counts are tiny (≤ keys × partitions rows): cumulative
     // offsets per key in pid order via a window over the aggregate only
     val w = org.apache.spark.sql.expressions.Window
@@ -526,10 +525,9 @@ object Substring {
     // consumers below need it — compute it once per doc, cache the compact
     // array form (~100 longs/doc, far smaller than the text), and derive
     // the exploded bucket table and the per-doc counts from the cache
-    val withFps = docs.select(
+    val withFps = IntermediateCaches.persistTracked(docs.select(
         col(idCol).as("id"),
-        GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow).as("__fps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        GraftFunctions.winnowFps(col(textCol), cfg.winnowK, cfg.winnowWindow).as("__fps")))
     // NOTE: no "low-fp docs can't form edges" pre-filter here — removing a
     // doc from the bucket table changes bucket cardinalities (df-cap
     // pruning decisions) and chain adjacency for the REMAINING docs, so
