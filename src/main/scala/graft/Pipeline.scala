@@ -210,7 +210,8 @@ object Pipeline {
   /** Signature config echo — persisted with snapshots so a resumed run can
     * assert it matches (model JSON analog, person_1/link_model_per.py:745). */
   def configJson(cfg: EngineConfig): String =
-    s"""{"shingleK":${cfg.shingleK},"numPerms":${cfg.numPerms},"bands":${cfg.bands},""" +
+    s"""{"shingleK":${cfg.shingleK},"numPerms":${cfg.numPerms},""" +
+      s""""minhashKernel":"${cfg.minhashKernel}","bands":${cfg.bands},""" +
       s""""rowsPerBand":${cfg.rowsPerBand},"seed":${cfg.seed},""" +
       s""""jaccardThreshold":${cfg.jaccardThreshold},"hammingThreshold":${cfg.hammingThreshold},""" +
       s""""exactVerify":${cfg.exactVerify},"tfWeighting":${cfg.tfWeighting},""" +

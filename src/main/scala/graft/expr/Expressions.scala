@@ -20,15 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered into the session FunctionRegistry by [[GraftFunctions]] —
   * usable from both the Column API (via `call_function`) and `spark.sql`.
   */
-final case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int, seed: Long)
+final case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int, seed: Long,
+                                kernel: String = "perm")
     extends UnaryExpression with CodegenFallback {
   private lazy val (pa, pb) = Hashing.permConstants(numPerms, seed)
+  private val oph = kernel == "oph"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any = {
     val sh = Hashing.shingleHashes(v.asInstanceOf[UTF8String].toString, k)
-    val sig = Hashing.minhash(sh, pa, pb)
+    val sig = if (oph) Hashing.minhashOph(sh, numPerms, seed)
+      else Hashing.minhash(sh, pa, pb)
     if (sig == null) null else new GenericArrayData(sig)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
@@ -293,7 +296,8 @@ object GraftFunctions {
     if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSigExpr(es.head, litInt(es(1)), litInt(es(2)), litLong(es(3))), "scala_udf")
+      es => MinHashSigExpr(es.head, litInt(es(1)), litInt(es(2)), litLong(es(3)),
+        if (es.length > 4) es(4).asInstanceOf[Literal].value.toString else "perm"), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("band_hashes",
       es => BandHashesExpr(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
@@ -320,7 +324,8 @@ object GraftFunctions {
 
   import org.apache.spark.sql.functions.lit
   def minhashSig(text: Column, cfg: EngineConfig): Column =
-    call_function("minhash_sig", text, lit(cfg.shingleK), lit(cfg.numPerms), lit(cfg.seed))
+    call_function("minhash_sig", text, lit(cfg.shingleK), lit(cfg.numPerms), lit(cfg.seed),
+      lit(cfg.minhashKernel))
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def bandHashes(sig: Column, cfg: EngineConfig): Column =
     call_function("band_hashes", sig, lit(cfg.bands), lit(cfg.rowsPerBand))

@@ -176,6 +176,83 @@ object Hashing {
     sig
   }
 
+  /** One-permutation-hashing (OPH) MinHash signature with optimal
+    * densification — public literature: Li, Owen, Zhang, "One Permutation
+    * Hashing" (NIPS 2012); Shrivastava, "Optimal Densification for Fast and
+    * Accurate Minwise Hashing" (ICML 2017).
+    *
+    * The classic kernel ([[minhash]]) evaluates numPerms=128 universal-hash
+    * permutations PER SHINGLE — the dominant signature cost in the whole
+    * pipeline. OPH hashes each shingle ONCE, routes it to bucket
+    * h mod numPerms, and keeps the minimum hash per bucket: all 128 slots
+    * in one pass, ~128× less hashing, same estimator family
+    * (P[slot agreement] ≈ Jaccard). Empty buckets (short docs or collision
+    * luck) are densified by borrowing the value of a uniformly-re-hashed
+    * non-empty bucket — the Shrivastava-2017 scheme, which keeps the
+    * estimator unbiased and variance-optimal among densifications.
+    *
+    * Deterministic: a pure function of the shingle SET and seed (min per
+    * bucket is order-independent; densification depends only on the bucket
+    * minima). Identical sets ⇒ identical signatures, so LSH banding
+    * semantics are unchanged. Selected via EngineConfig.minhashKernel
+    * ("oph" vs "perm"), which participates in the snapshot config
+    * fingerprint — resumed runs never mix kernels. */
+  def minhashOph(shingles: Array[Long], numPerms: Int, seed: Long): Array[Long] = {
+    if (shingles.isEmpty) return null
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val sm = mix64(seed)
+    var s = 0
+    while (s < shingles.length) {
+      val h = mix64(shingles(s) ^ sm)
+      val b = java.lang.Long.remainderUnsigned(h, numPerms).toInt
+      if (h < sig(b)) sig(b) = h
+      s += 1
+    }
+    // optimal densification: each empty bucket walks a seeded hash sequence
+    // of bucket indices until it lands on a NON-EMPTY one and copies its
+    // value. The walk depends only on (bucket, seed), so two documents with
+    // the same filled-bucket pattern borrow from the same donors — exactly
+    // the collision structure the estimator requires.
+    // donors must be ORIGINAL minima, not previously-densified slots —
+    // restricting the walk to pass-1-filled buckets makes the loop
+    // order-independent (a pure function of the bucket-minima map). The
+    // MaxValue corner (a real hash equal to MaxValue) has probability
+    // 2^-64 and merely makes that bucket look empty — consistently so on
+    // both sides of any comparison.
+    val filled = new Array[Boolean](numPerms)
+    var i = 0
+    while (i < numPerms) { filled(i) = sig(i) != Long.MaxValue; i += 1 }
+    i = 0
+    while (i < numPerms) {
+      if (!filled(i)) {
+        var t = 1L
+        var done = false
+        while (!done) {
+          val j = java.lang.Long.remainderUnsigned(
+            mix64(sm ^ (i.toLong * 0x9e3779b97f4a7c15L + t)), numPerms).toInt
+          if (filled(j)) {
+            // mix the donor with the bucket index so that two different
+            // empty buckets borrowing from the SAME donor do not become
+            // spuriously equal across documents with different patterns —
+            // the ICML'17 construction's "offset" term
+            sig(i) = mix64(sig(j) ^ (i.toLong + 0x100000001b3L))
+            done = true
+          }
+          t += 1
+          if (t > numPerms.toLong * 64 && !done) {
+            // pathological corner: every other bucket empty (single-shingle
+            // doc whose walk keeps missing the one filled bucket is
+            // impossible — the walk is uniform — but bound the loop anyway)
+            sig(i) = mix64(sm ^ i.toLong)
+            done = true
+          }
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
   def jaccardEstimate(l: Array[Long], r: Array[Long]): Double = {
     var agree = 0; var i = 0

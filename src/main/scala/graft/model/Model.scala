@@ -66,6 +66,14 @@ final case class ClusterAssignment(id: Long, clusterId: Long)
 final case class EngineConfig(
     shingleK: Int = 3,            // tokens per shingle
     numPerms: Int = 128,
+    // MinHash kernel: "oph" = one-permutation hashing with optimal
+    // densification (one hash per shingle — ~numPerms× less hashing per
+    // doc, same estimator family; Li et al. NIPS'12, Shrivastava ICML'17),
+    // "perm" = the classic numPerms-universal-hash kernel. Both produce
+    // numPerms-slot signatures with P[slot agreement] ≈ Jaccard, so
+    // banding/scoring are kernel-agnostic; signatures differ bit-for-bit,
+    // so the choice participates in the snapshot config fingerprint.
+    minhashKernel: String = "oph",
     bands: Int = 16,
     rowsPerBand: Int = 8,
     simhashBits: Int = 64,
@@ -108,6 +116,8 @@ final case class EngineConfig(
     // hash-free reference plan). Identical output either way (spec-pinned).
     exactDedupByHash: Boolean = true) {
   require(bands * rowsPerBand == numPerms, "bands*rowsPerBand must equal numPerms")
+  require(minhashKernel == "oph" || minhashKernel == "perm",
+    s"unknown minhashKernel '$minhashKernel' (expected 'oph' or 'perm')")
 }
 
 object EngineConfig {

@@ -63,6 +63,49 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.minhash(Array.empty[Long], pa, pb) == null)
   }
 
+  test("minhashOph estimate concentrates around true Jaccard") {
+    val rnd = new java.util.SplittableRandom(7)
+    val base = Array.fill(300)(rnd.nextLong())
+    for (f <- Seq(0.5, 0.8, 0.95)) {
+      val keep = (300 * f).toInt
+      val other = base.take(keep) ++ Array.fill(300 - keep)(rnd.nextLong())
+      val sl = Hashing.minhashOph(base, cfg.numPerms, cfg.seed)
+      val sr = Hashing.minhashOph(other, cfg.numPerms, cfg.seed)
+      val est = Hashing.jaccardEstimate(sl, sr)
+      val truth = Hashing.exactJaccard(base, other)
+      assert(math.abs(est - truth) < 0.13, s"f=$f est=$est truth=$truth")
+    }
+  }
+
+  test("minhashOph estimate stays concentrated on SHORT docs (densified slots engaged)") {
+    // 40 shingles over 128 buckets: ~2/3 of slots are densified — the
+    // regime where a broken densification would wreck the estimator
+    val rnd = new java.util.SplittableRandom(13)
+    for (trial <- 0 until 20) {
+      val base = Array.fill(40)(rnd.nextLong())
+      val other = base.take(30) ++ Array.fill(10)(rnd.nextLong())
+      val est = Hashing.jaccardEstimate(
+        Hashing.minhashOph(base, cfg.numPerms, cfg.seed),
+        Hashing.minhashOph(other, cfg.numPerms, cfg.seed))
+      val truth = Hashing.exactJaccard(base, other)
+      assert(math.abs(est - truth) < 0.22, s"trial=$trial est=$est truth=$truth")
+    }
+  }
+
+  test("minhashOph: set-order independence, identical sets identical, empty null, seed-sensitive") {
+    val rnd = new java.util.SplittableRandom(17)
+    val s = Array.fill(50)(rnd.nextLong())
+    val a = Hashing.minhashOph(s, cfg.numPerms, cfg.seed)
+    assert(a.sameElements(Hashing.minhashOph(s.reverse, cfg.numPerms, cfg.seed)))
+    assert(a.sameElements(Hashing.minhashOph(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(3)).shuffle(s.toList).toArray, cfg.numPerms, cfg.seed)))
+    assert(Hashing.minhashOph(Array.empty[Long], cfg.numPerms, cfg.seed) == null)
+    assert(!a.sameElements(Hashing.minhashOph(s, cfg.numPerms, cfg.seed + 1)))
+    // no sentinel leaks: every slot is a real value
+    assert(a.forall(_ != Long.MaxValue))
+    assert(Hashing.minhashOph(Array(42L), cfg.numPerms, cfg.seed).forall(_ != Long.MaxValue))
+  }
+
   test("simhash: identical text 0 hamming; small edit small hamming; unrelated large") {
     val a = (1 to 100).map(i => s"tok$i").mkString(" ")
     val b = (1 to 100).map(i => if (i == 50) "changed" else s"tok$i").mkString(" ")
