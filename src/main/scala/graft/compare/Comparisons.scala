@@ -104,6 +104,30 @@ object PersonOps {
       when(size(parts) >= 3, element_at(parts, 3)))
   }
 
+  /** Sentence-case one value: UPPER(first char) + LOWER(everything after) —
+    * the `UPPER(LEFT(val,1)) + LOWER(SUBSTRING(val,2,LEN(val)))` chain the
+    * dedup SQL applies when re-emitting names
+    * (`person_2/person_a/fv_dedup_per.sql:67`, `person_2/fv_person.sql:185-256`).
+    * NULL or empty → NULL (the reference's `WHEN val = '' THEN NULL`).
+    * NOT initcap: a multi-word remainder gets ONE leading capital and the
+    * rest lowered ("mary anne" → "Mary anne"), exactly the T-SQL form. */
+  def sentenceCase(c: Column): Column =
+    when(c.isNull || c === "", lit(null))
+      .otherwise(concat(upper(c.substr(lit(1), lit(1))),
+        lower(c.substr(lit(2), length(c)))))
+
+  /** F2 sentence-case variant: the dedup SQL's given-name re-emission
+    * (`person_2/person_a/fv_dedup_per.sql:13-87`): gn1 = first token
+    * sentence-cased, gn2 = second token sentence-cased, gn3 = ALL text
+    * after the second space sentence-cased AS A WHOLE (first char upper,
+    * every later word lowered — see [[sentenceCase]]). Missing parts →
+    * NULL. Assumes single-space-separated input like the reference
+    * (its CHARINDEX arithmetic mis-slices doubled spaces). */
+  def splitGivenNamesCased(c: Column): (Column, Column, Column) = {
+    val (g1, g2, g3) = splitGivenNames(c)
+    (sentenceCase(g1), sentenceCase(g2), sentenceCase(g3))
+  }
+
   /** P2: code-to-NULL normalisation (`person_1/link_model_per.py:129-137`). */
   def codesToNull(c: Column, codes: String*): Column =
     when(c.isin(codes: _*), lit(null)).otherwise(c)

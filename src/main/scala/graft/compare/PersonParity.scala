@@ -69,6 +69,38 @@ object PersonParity {
       .drop("__repl")
   }
 
+  /** Cross-table COALESCE back-fill after the multi-entity union
+    * (`person_2/fv_person.sql:268-338`): a unified master row missing
+    * `fillCol` takes the value of the highest-ordered NON-master member of
+    * its cluster — across entity types, because the member table is the
+    * unioned namespace. Reference shape: CTE ranks non-null, non-master
+    * members per cluster by a numeric cast of the id DESC (`CAST(d.id AS
+    * INT) DESC` for cni_number; `TRY_CAST(LEFT(id_parent, …))` for the
+    * parent status), takes rn=1, and UPDATEs masters WHERE the column IS
+    * NULL.
+    *
+    * Spark form: one max_by aggregate per cluster (no per-cluster window
+    * task) + a broadcast-eligible left join; ties on `orderKey` break by
+    * the fill value itself (total order ⇒ deterministic — the T-SQL
+    * ROW_NUMBER leaves ties engine-ordered, which the reference gets away
+    * with only because its ids are unique).
+    *
+    * @param masters  unified rows carrying `clusterCol` + `fillCol`
+    * @param members  all dedup-lookup member rows: `clusterCol`, `id`,
+    *                 `fillCol` (+ whatever `orderKey` reads)
+    * @param orderKey member ranking expression, highest wins */
+  def crossEntityFill(masters: DataFrame, members: DataFrame, fillCol: String,
+                      orderKey: Column, clusterCol: String = "cluster_id"): DataFrame = {
+    val donors = members
+      .filter(col(fillCol).isNotNull && col("id") =!= col(clusterCol))
+      .groupBy(clusterCol)
+      .agg(max(struct(orderKey.as("o"), col(fillCol).as("v"))).as("__best"))
+      .select(col(clusterCol), col("__best.v").as("__fill"))
+    masters.join(donors, Seq(clusterCol), "left")
+      .withColumn(fillCol, coalesce(col(fillCol), col("__fill")))
+      .drop("__fill")
+  }
+
   /** W6 namespaced dense ids: DENSE_RANK per entity type + range base
     * (1M/2M/…), `person_2/fv_all_person_lookup.sql:32-109`.
     *

@@ -428,6 +428,81 @@ object Queries {
         .select(col("id").as("doc_id"), col("width"), col("durationMs").as("duration_ms"),
           col("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // J4/§2.9 lineage with the exact-duplicate pre-pass engaged: the sf
+    // testdata has no duplicate texts, so q32 can never reach the
+    // "Association match (Exact)" branch (the label the reference gives
+    // exact-dup holdouts re-attached after clustering,
+    // person_1/link_model_per.py:1248-1253), and its clusters are all
+    // direct pairs, so plain "Association match" (transitive connection,
+    // :1254-1262) never appears either. This query PLANTS both
+    // deterministically: an exact copy of every doc_id % 20 == 0 row
+    // (id + 10M), plus a prefix chain on doc_id % 40 == 0 rows — X = first
+    // 90% of the tokens (id + 20M, Jaccard vs the original ≈ 0.90 → direct
+    // edge) and Y = first 76% (id + 30M: vs the original ≈ 0.76 < 0.8 = no
+    // direct edge, vs X ≈ 0.76/0.90 ≈ 0.84 → edge) — so Y joins the
+    // cluster only transitively through X. Runs the real pre-pass →
+    // trigram edges over survivors → CC → holdout re-attach → lineage; the
+    // DuckDB oracle reproduces all four match_type classes independently.
+    "q37_exact_lineage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def headFrac(f: Double) = {
+        val toks = split(col("text"), " ")
+        array_join(slice(toks, lit(1), ceil(size(toks) * f).cast("int")), " ")
+      }
+      val aug = docs
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), headFrac(0.9).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 30000000L).as("doc_id"), headFrac(0.76).as("text")))
+      val (survivors, holdouts) =
+        graft.stages.ExactDedup.splitByHash(aug, idCol = "doc_id")
+      val pairs = trigramPairsOf(survivors)
+      val strong = col("inter") * 10 >= (col("size_l") + col("size_r") - col("inter")) * 9
+      val edges = pairs.select(
+        col("doc_id_l").as("id_l"), col("doc_id_r").as("id_r"),
+        col("inter"), when(strong, 2).otherwise(1).as("level"))
+      val survAssign = ConnectedComponents.assign(
+        s, survivors.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_l").as("src"), col("doc_id_r").as("dst")))
+      val holdAssign = holdouts
+        .join(survAssign.withColumnRenamed("id", "__sid"),
+          holdouts("master_id") === col("__sid"), "left")
+        .select(col("doc_id").as("id"),
+          coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
+      val assignments = survAssign.unionByName(holdAssign)
+      graft.stages.Lineage.clusterRows(assignments, edges,
+          holdouts.select(col("doc_id").as("id")), gammaCols = Seq("inter", "level"))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          coalesce(col("inter"), lit(-1L)).as("direct_inter"),
+          coalesce(col("level"), lit(-1)).as("gamma"),
+          col("match_type"))
+        .orderBy("doc_id")
+    }),
+
+    // threshold-centric config end-to-end (≙ the reference's per-model
+    // thresholds 22/18.5/22/10.5/5.8, SURVEY §2.9): EngineConfig
+    // .forThreshold(0.8) picks the banding whose LSH S-curve midpoint is
+    // closest to the target (8 bands × 16 rows, s* ≈ 0.878) and sets the
+    // verify threshold — the same pipeline, retuned by ONE number, the way
+    // Splink models are retuned by threshold_match_weight. Rows-only
+    // (minhash-dependent); EngineConfigSpec pins the band choice and
+    // StagesSpec the recall at the retuned threshold.
+    "q38_threshold_tuned" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val tuned = EngineConfig.forThreshold(0.8)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val sigs = graft.stages.Signatures.withSignatures(docs, tuned)
+        .select("id", "minhash", "simhash")
+      val cand = graft.stages.Blocking.candidatePairs(sigs, tuned)
+      graft.stages.Scoring.score(cand, sigs, tuned)
+        .select(col("id_l").as("doc_id_l"), col("id_r").as("doc_id_r"),
+          col("jaccard_est"), col("level"))
+        .orderBy("doc_id_l", "doc_id_r")
     })
   )
 
@@ -441,8 +516,13 @@ object Queries {
 
   /** Exact token-trigram candidate pairs at Jaccard ≥ 0.8 (integer-exact
     * filter: 5*inter >= 4*union). Shared by q14/q20/q21/q32. */
-  private def trigramPairsFull(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+  private def trigramPairsFull(s: SparkSession, dir: String): DataFrame =
+    trigramPairsOf(t(s, dir, "documents"))
+
+  /** [[trigramPairsFull]] over an arbitrary (doc_id, text) frame —
+    * q37 runs it over exact-dedup survivors of an augmented corpus. */
+  private def trigramPairsOf(docs: DataFrame): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -641,6 +721,48 @@ object Queries {
         |clus AS (SELECT e.vec_id, least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS cluster_id
         |         FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id GROUP BY e.vec_id)
         |SELECT vec_id, cluster_id FROM clus ORDER BY vec_id""".stripMargin,
+    "q37_exact_lineage" ->
+      s"""WITH RECURSIVE
+         |aug AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 20000000 AS doc_id,
+         |               array_to_string(string_split(text, ' ')[1:CAST(ceil(len(string_split(text, ' ')) * 0.9) AS INT)], ' ') AS text
+         |        FROM documents WHERE doc_id % 40 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 30000000 AS doc_id,
+         |               array_to_string(string_split(text, ' ')[1:CAST(ceil(len(string_split(text, ' ')) * 0.76) AS INT)], ' ') AS text
+         |        FROM documents WHERE doc_id % 40 = 0),
+         |ranked AS (SELECT doc_id, text,
+         |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+         |           min(doc_id) OVER (PARTITION BY text) AS master_id FROM aug),
+         |surv AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+         |hold AS (SELECT doc_id, master_id FROM ranked WHERE rn > 1),
+         |${TrigramCte.replace("FROM documents", "FROM surv")},
+         |bidir AS (SELECT doc_id_l AS l, doc_id_r AS r FROM jpairs
+         |          UNION SELECT doc_id_r, doc_id_l FROM jpairs),
+         |reach AS (SELECT l AS a, r AS b FROM bidir
+         |          UNION SELECT reach.a, bidir.r FROM reach JOIN bidir ON reach.b = bidir.l),
+         |clus AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |         FROM surv d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+         |allc AS (SELECT doc_id, cluster_id FROM clus
+         |         UNION ALL
+         |         SELECT h.doc_id, coalesce(c.cluster_id, h.master_id) AS cluster_id
+         |         FROM hold h LEFT JOIN clus c ON c.doc_id = h.master_id)
+         |SELECT a.doc_id, a.cluster_id,
+         |coalesce(p.inter, -1) AS direct_inter,
+         |CASE WHEN p.inter IS NULL THEN -1
+         |     WHEN p.inter * 10 >= 9 * (p.size_l + p.size_r - p.inter) THEN 2
+         |     ELSE 1 END AS gamma,
+         |CASE WHEN a.doc_id = a.cluster_id THEN 'Self'
+         |     WHEN p.inter IS NOT NULL THEN 'Direct match'
+         |     WHEN h.doc_id IS NOT NULL THEN 'Association match (Exact)'
+         |     ELSE 'Association match' END AS match_type
+         |FROM allc a
+         |LEFT JOIN jpairs p ON p.doc_id_l = a.cluster_id AND p.doc_id_r = a.doc_id
+         |LEFT JOIN hold h ON h.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "q27_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -82,4 +82,49 @@ class PersonParitySpec extends SparkSpec {
       ("person", 5L, 1000000L), ("person", 9L, 1000001L),
       ("child", 2L, 2000000L), ("child", 7L, 2000001L)))
   }
+
+  test("F2 sentence-case restore: given-name re-emission vectors (fv_dedup_per.sql:13-87)") {
+    val rows = Seq(
+      Some("mary anne LOUISE de la cruz"), // 3+ tokens: remainder cased as ONE value
+      Some("JOHN paul"),                   // 2 tokens
+      Some("  ALICE  "),                   // 1 token, outer whitespace trimmed
+      Some(""),                            // empty → all NULL
+      None                                 // NULL → all NULL
+    ).toDF("given_names")
+    val (g1, g2, g3) = PersonOps.splitGivenNamesCased(col("given_names"))
+    val out = rows.select(g1.as("a"), g2.as("b"), g3.as("c"))
+      .as[(Option[String], Option[String], Option[String])].collect()
+    assert(out(0) == ((Some("Mary"), Some("Anne"), Some("Louise de la cruz"))),
+      s"remainder must get ONE capital (not initcap): ${out(0)}")
+    assert(out(1) == ((Some("John"), Some("Paul"), None)))
+    assert(out(2) == ((Some("Alice"), None, None)))
+    assert(out(3) == ((None, None, None)))
+    assert(out(4) == ((None, None, None)))
+  }
+
+  test("cross-entity COALESCE fill: master's NULL filled from highest-id non-master member") {
+    // mirrors the cni_number fill (fv_person.sql:276-302): members span
+    // entity types in the unioned namespace; only NULL masters change;
+    // donor = non-null member with the greatest numeric id, masters
+    // themselves never donate
+    val masters = Seq(
+      (10L, Option.empty[String]),        // filled from member 31 (highest donor)
+      (40L, Some("KEEP")),                // non-null → untouched
+      (50L, Option.empty[String])         // cluster without donors → stays NULL
+    ).toDF("cluster_id", "cni_number")
+    val members = Seq(
+      (10L, 10L, Some("MASTER-VAL")),     // master row: excluded as donor
+      (10L, 22L, Some("CNI-22")),
+      (10L, 31L, Some("CNI-31")),         // highest id wins
+      (10L, 35L, Option.empty[String]),   // null member: not a donor
+      (40L, 41L, Some("CNI-41")),
+      (50L, 51L, Option.empty[String])
+    ).toDF("cluster_id", "id", "cni_number")
+    val out = PersonParity.crossEntityFill(masters, members, "cni_number",
+        orderKey = col("id"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(10L) == Some("CNI-31"))
+    assert(out(40L) == Some("KEEP"))
+    assert(out(50L) == None)
+  }
 }

@@ -117,6 +117,24 @@ class KnnSpec extends SparkSpec {
     assert(got == truth, "LSH-routed embedDedup must equal brute-force closure at this scale")
   }
 
+  test("LSH top-1 singleton multi-probe: fewer -1 answers, bounded extra pairs, recall kept") {
+    // the planted table's 60 random noise vectors scatter over 256 buckets:
+    // many land alone and would answer -1 without the probe. The probe may
+    // only ADD answers for singleton-bucket vectors — everyone else's
+    // result is untouched (probe rows join as queries only).
+    val got = Knn.lshTop1(spark, planted, EngineConfig.default)
+      .as[(Long, Long)].collect().toMap
+    val unanswered = got.values.count(_ == -1L)
+    // pre-probe baseline, reconstructed: vectors alone in their bucket.
+    // With bits=8 over 120 vectors most noise vectors are singletons; the
+    // probe must resolve a solid majority of them (deterministic: seeded).
+    assert(unanswered < 30, s"$unanswered of 120 still unanswered after multi-probe")
+    // planted near-dup pairs that share a bucket still resolve to each
+    // other — the probe path must not displace in-bucket answers
+    val inBucket = (0 until 30).count(i => got(i.toLong) == 100L + i || got(100L + i) == i.toLong)
+    assert(inBucket >= 20, s"near-dup resolution degraded: $inBucket/30")
+  }
+
   test("LSH top-1 is deterministic and covers every vector") {
     val emb = clustered.select("vec_id", "embedding")
     val a = Knn.lshTop1(spark, emb, EngineConfig.default).orderBy("vec_id")
@@ -125,5 +143,12 @@ class KnnSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(a.sameElements(b))
     assert(a.length == 400)
+  }
+
+  test("empty embeddings table: every ANN entry point returns empty instead of throwing") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.lshTop1(spark, empty, EngineConfig.default).count() == 0)
+    assert(Knn.embedDedup(spark, empty).count() == 0)
+    assert(Knn.ivfTop1(spark, empty).count() == 0)
   }
 }

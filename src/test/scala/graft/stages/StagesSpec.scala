@@ -241,4 +241,29 @@ class StagesSpec extends SparkSpec {
     assert(edges.exists(e => e._1 == 1L && e._2 == 2L), s"missing containment edge: ${edges.mkString(",")}")
     assert(edges.forall(e => e._1 == 1L && e._2 == 2L), s"boilerplate false edge: ${edges.mkString(",")}")
   }
+
+  test("forThreshold(0.8) banding captures high-Jaccard pairs end-to-end (q38 contract)") {
+    // the tuned config (8 bands x 16 rows, S-curve midpoint 0.878): a pair
+    // at J ~ 0.94 has per-band collision p = 0.94^16 ~ 0.37, miss
+    // (1-p)^8 ~ 2.5% — so >= 28/30 planted twins must surface as
+    // candidates, and every candidate at exact J >= 0.8 must score level 2
+    // under the retuned jaccardThreshold. Deterministic (seeded kernels).
+    val tuned = EngineConfig.forThreshold(0.8)
+    assert(tuned.bands == 8 && tuned.rowsPerBand == 16 && tuned.jaccardThreshold == 0.8)
+    val docs = (0 until 30).flatMap { p =>
+      val toks = (0 until 100).map(i => s"w${p}_$i")
+      val twin = toks.updated(50, "CHANGED")
+      Seq((p * 2L, toks.mkString(" ")), (p * 2L + 1, twin.mkString(" ")))
+    }.toDF("id", "text")
+    val sigs = Signatures.withSignatures(docs, tuned).select("id", "minhash", "simhash")
+    val cand = Blocking.candidatePairs(sigs, tuned)
+    val scored = Scoring.exactVerify(Scoring.score(cand, sigs, tuned), docs, tuned)
+    val twinHits = scored.filter(col("id_r") === col("id_l") + 1 && col("id_l") % 2 === 0)
+    assert(twinHits.count() >= 28, s"tuned banding captured only ${twinHits.count()}/30 twins")
+    // every captured twin verifies at level 2 (exact J ~ 0.94 >= 0.8)
+    assert(twinHits.filter(col("level") === 2).count() == twinHits.count())
+    // no cross-family false candidates survive exact verify at level 2
+    val cross = scored.filter(col("level") >= 1 && !(col("id_r") === col("id_l") + 1))
+    assert(cross.count() == 0, s"false positives: ${cross.count()}")
+  }
 }
