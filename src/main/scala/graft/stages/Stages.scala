@@ -158,6 +158,14 @@ object PairGen {
     // pass. Buffers are bounded, so a 10^7-member boilerplate bucket costs
     // cap longs of memory, not an OOM. Cached: materialized once by the
     // big-key collect below, then the small-pairs branch reads blocks.
+    // Physical note: ObjectHashAggregate falls back to SORT-based
+    // aggregation past spark.sql.objectHashAggregate.sortBased
+    // .fallbackThreshold (default 128) in-memory groups — i.e. at real
+    // cardinalities this runs as exchange + external sort-merge, which is
+    // the memory-safe plan for million-key buckets. Measured (tools/
+    // SubstringProbe, interleaved in one JVM, 41M bucket rows): the sort
+    // fallback is as fast as a forced 20M-entry hash map and needs no
+    // per-session tuning, so the default is left alone.
     val grouped = IntermediateCaches.persistTracked(buckets0.groupBy("key")
       .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids")))
     // Bounded collect: big keys each hold > bigThreshold members, so there
