@@ -27,7 +27,7 @@ object Bench {
     "q17_token_stats", "q20_ngram_jaccard", "q21_cc_clusters",
     "q22_minhash_lsh", "q24_dedup_pipeline", "q25_cosine_top1")
 
-  val MaxReps = 4
+  val MaxReps = 5
   val MinReps = 2
   val RepBudgetSec = 1800.0
 
@@ -44,10 +44,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // 400k docs ≈ 40-90 s/rep at local[32]: large enough that per-job fixed
-    // latency (~15 s across the pipeline's jobs, size-independent) stops
-    // dominating the measured throughput, small enough for 4 reps in budget
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
+    // 800k docs ≈ 50-110 s/rep at local[32] on round-3 code: large enough
+    // that per-job fixed latency (~10 s across the pipeline's jobs,
+    // size-independent) is well amortized, small enough for 5 reps in
+    // budget even with one heavily-stolen rep (RepBudgetSec guards)
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "800000").toLong
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
