@@ -242,6 +242,20 @@ class StagesSpec extends SparkSpec {
     assert(edges.forall(e => e._1 == 1L && e._2 == 2L), s"boilerplate false edge: ${edges.mkString(",")}")
   }
 
+  test("clearIntermediateCaches releases engine-tracked blocks, never the caller's") {
+    val callerCache = Seq((1L, "caller")).toDF("id", "text").persist()
+    callerCache.count()
+    val buckets = ((1L to 40L).map(i => (1L, i, i)) ++ Seq((2L, 100L, 1L), (2L, 101L, 2L)))
+      .toDF("key", "id", "sort")
+    // tracks `grouped` internally (PairGen single-shuffle plan)
+    assert(PairGen.pairs(buckets, allPairsCap = 64).count() > 0)
+    graft.Pipeline.clearIntermediateCaches(spark)
+    assert(callerCache.storageLevel.useMemory, "caller cache must survive the engine clear")
+    // idempotent: a second clear with nothing tracked is a no-op
+    graft.Pipeline.clearIntermediateCaches(spark)
+    callerCache.unpersist()
+  }
+
   test("forThreshold(0.8) banding captures high-Jaccard pairs end-to-end (q38 contract)") {
     // the tuned config (8 bands x 16 rows, S-curve midpoint 0.878): a pair
     // at J ~ 0.94 has per-band collision p = 0.94^16 ~ 0.37, miss
