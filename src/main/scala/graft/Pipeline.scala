@@ -43,7 +43,14 @@ object Pipeline {
   def run(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
           substringPass: Boolean = true): Result = {
     GraftFunctions.register(spark)
-    val input = IntermediateCaches.persistTracked(docs)
+    // Only persist-track the input when the CALLER has not persisted it:
+    // Spark caches are keyed by plan, so persisting an already-persisted
+    // frame is a no-op and a later clearIntermediateCaches would evict the
+    // caller's cache — violating the "engine caches only" contract.
+    val input =
+      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        IntermediateCaches.persistTracked(docs)
+      else docs
 
     val (survivors, holdouts) =
       if (cfg.exactDedupByHash) ExactDedup.splitByHash(input, persistHoldouts = true)

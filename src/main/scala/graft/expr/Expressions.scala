@@ -297,7 +297,11 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSigExpr(es.head, litInt(es(1)), litInt(es(2)), litLong(es(3)),
-        if (es.length > 4) es(4).asInstanceOf[Literal].value.toString else "perm"), "scala_udf")
+        // 4-arg SQL calls default to the ENGINE default kernel so a
+        // spark.sql caller stays in lockstep with the Column API and the
+        // snapshot config fingerprint (both follow EngineConfig.default)
+        if (es.length > 4) es(4).asInstanceOf[Literal].value.toString
+        else EngineConfig.default.minhashKernel), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("band_hashes",
       es => BandHashesExpr(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")

@@ -27,11 +27,18 @@ final class SnapshotStore(val root: String) {
 
   private def manifestPath(stage: String): Path = manifestDir.resolve(s"$stage.json")
 
+  /** List a directory, closing the stream (Files.list holds an open fd
+    * until closed — leaking one per commit under repeated use). */
+  private def listDir(dir: Path): Array[Path] = {
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+  }
+
   /** Latest committed snapshot id (monotone counter across all stages). */
   private def nextId(): Long = synchronized {
-    val ids = Files.list(manifestDir).toArray.map(_.toString)
+    val ids = listDir(manifestDir)
       .flatMap { p =>
-        val s = new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+        val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         "\"id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
       }
     if (ids.isEmpty) 1L else ids.max + 1
@@ -86,4 +93,45 @@ final class SnapshotStore(val root: String) {
     latest(spark, name, configFingerprint).getOrElse {
       commit(name, compute, configFingerprint)
     }
+
+  /** Snapshot expiry (the Iceberg `expire_snapshots` contract this module
+    * implements): every commit writes a fresh immutable `stage-<id>` data
+    * dir and supersedes the previous one, so a long-lived resumable
+    * deployment accumulates dead parquet forever without GC. Deletes all
+    * but the `keepLast` newest data dirs per stage — NEVER the one the
+    * stage's current manifest points to (resume stays byte-identical even
+    * with keepLast = 1, enforced explicitly rather than assumed from id
+    * ordering). Returns the number of data dirs deleted. */
+  def expireSnapshots(keepLast: Int = 1): Int = synchronized {
+    require(keepLast >= 1, "keepLast must be >= 1 (the current snapshot is never expired)")
+    // dirs named <stage>-<id>; stage names may themselves contain '-', so
+    // split on the LAST dash. Current manifest paths are always retained.
+    val currentPaths = listDir(manifestDir)
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap { p =>
+        val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        "\"path\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      }.toSet
+    val byStage = listDir(dataDir).filter(p => Files.isDirectory(p)).flatMap { p =>
+      val name = p.getFileName.toString
+      val cut = name.lastIndexOf('-')
+      if (cut <= 0) None
+      else name.drop(cut + 1).toLongOption.map(id => (name.take(cut), id, p))
+    }.groupBy(_._1)
+    var deleted = 0
+    byStage.values.foreach { dirs =>
+      dirs.sortBy(-_._2).drop(keepLast).foreach { case (_, _, p) =>
+        if (!currentPaths.contains(p.toString)) {
+          deleteRecursively(p)
+          deleted += 1
+        }
+      }
+    }
+    deleted
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 }

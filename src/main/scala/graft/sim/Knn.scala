@@ -173,21 +173,40 @@ object Knn {
     * distributed top-k takeOrdered, NOT a full-table collect). k scales
     * ~sqrt(n) so cells stay ~sqrt(n)-sized and the within-cell compare is
     * O(n^1.5 / nProbe) total, not n^2/k for a fixed k. */
+  /** Defaulted-k centroid picks fetch this many hash-smallest vectors in
+    * the single combined job; k = sqrt(n) exceeds it only past n ≈ 4e9
+    * vectors — far beyond the driver-broadcast IVF regime (production
+    * trains centroids offline at that scale) — where a second exact
+    * top-k job covers the gap. */
+  private val CentroidPoolMax = 65536
+
   def ivfTop1(spark: SparkSession, embeddings: DataFrame, k: Int = 0,
               nProbe: Int = 2, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
     import spark.implicits._
+    // Centroid pick = distributed top-k by a bijective id hash (mix64 has
+    // no collisions on Long, so the hash alone is a deterministic total
+    // order — a seeded permutation of the ids). takeOrdered visits every
+    // row exactly once in ONE job, so the defaulted-k path counts n with
+    // an accumulator in the SAME job instead of a separate count() action
+    // (a per-call serial job the bench showed as pure Amdahl tax). The
+    // accumulator can over-count only on task retry; n feeds the k ~
+    // sqrt(n) heuristic, not correctness, and the pool cut below stays
+    // exact regardless.
+    val acc = spark.sparkContext.longAccumulator("graft.ivf.n")
+    val keyed = embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .rdd.map { case (id, v) => acc.add(1L); (Hashing.mix64(id ^ seed), id, v) }
+    val poolSize = if (k > 0) k else CentroidPoolMax
+    val pool = keyed.takeOrdered(poolSize)(Ordering.by(_._1))
     val kEff =
       if (k > 0) k
-      else math.max(16, math.sqrt(embeddings.count().toDouble).toInt)
-    val cents = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(kEff)
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy { case (id, _) => Hashing.mix64(id ^ seed) }
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+      else math.max(16, math.sqrt(acc.value.toDouble).toInt)
+    val picked =
+      if (kEff <= pool.length || pool.length < poolSize) pool.take(kEff) // exact top-kEff
+      else keyed.takeOrdered(kEff)(Ordering.by(_._1)) // n > pool² regime: one more exact job
+    // pool is already in mix64 order — the deterministic centroid indexing
+    val cents = picked.zipWithIndex.map { case ((_, _, v), i) => (i, v) }
     val centsB = spark.sparkContext.broadcast(cents)
 
     def cos(a: Array[Float], b: Seq[Float]): Double = {

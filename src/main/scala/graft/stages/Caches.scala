@@ -21,7 +21,20 @@ import org.apache.spark.storage.StorageLevel
   * forces recomputation if the lazy result is re-evaluated.
   */
 private[graft] object IntermediateCaches {
+  // The tracked DataFrames must be held STRONGLY until clear(): the
+  // intermediate Dataset wrappers are referenced only by this registry
+  // (downstream lazy results reference their logical PLANS, not the
+  // wrapper objects), so a weak value would be collectable immediately
+  // and clear() could no longer unpersist it. Strong values, however,
+  // reference their SparkSession (df.sparkSession) and would pin the
+  // weak-keyed entry forever — so the first persistTracked per context
+  // registers an application-end listener that drops every session's
+  // list when that context stops. A session that ends without clear()
+  // therefore leaks nothing past its context's lifetime.
   private val tracked = new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+  private val listenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
 
   /** Persist `df` at `level` and register it for later [[clear]]. */
   def persistTracked(df: DataFrame,
@@ -31,6 +44,14 @@ private[graft] object IntermediateCaches {
       var lst = tracked.get(df.sparkSession)
       if (lst == null) { lst = new java.util.ArrayList[DataFrame](); tracked.put(df.sparkSession, lst) }
       lst.add(out)
+      val sc = df.sparkSession.sparkContext
+      if (listenerInstalled.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            dropSessionsOf(sc)
+        })
+      }
     }
     out
   }
@@ -40,4 +61,12 @@ private[graft] object IntermediateCaches {
     val lst = tracked.synchronized(tracked.remove(spark))
     if (lst != null) lst.forEach(df => try df.unpersist(false) catch { case _: Throwable => () })
   }
+
+  /** Context stopped: its executors (and all cached blocks) are gone —
+    * drop the driver-side references so the sessions can be collected. */
+  private def dropSessionsOf(sc: org.apache.spark.SparkContext): Unit =
+    tracked.synchronized {
+      val it = tracked.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
+    }
 }

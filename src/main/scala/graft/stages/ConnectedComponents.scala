@@ -2,7 +2,6 @@ package graft.stages
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components — the engine's replacement for Splink's
   * `cluster_pairwise_predictions_at_threshold`
@@ -37,6 +36,13 @@ object ConnectedComponents {
   val DriverFastPathMaxEdges: Long = 2000000L
 
   /** @param edges columns src:long, dst:long (undirected, any orientation)
+    * @param maxIterations bound on star ROUNDS (large-star+small-star = 2
+    *        rounds per loop pass; the loop checks convergence every other
+    *        round, so it may run at most one round past the bound before
+    *        noticing). Exhausting the bound without a fixpoint THROWS —
+    *        an unconverged star graph would silently yield a wrong cluster
+    *        set, the worst failure mode. Practically unreachable at the
+    *        default 50 (convergence is log-diameter, 4-6 rounds typical).
     * @param reliableCheckpoint cut lineage with a RELIABLE `checkpoint()`
     *        (requires `spark.sparkContext.setCheckpointDir`) instead of
     *        `localCheckpoint`. localCheckpoint stores blocks in executor
@@ -63,12 +69,17 @@ object ConnectedComponents {
     def cut(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint(false) else df.localCheckpoint(false)
 
-    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
-      .select(least($"src", $"dst").as("dst"), greatest($"src", $"dst").as("src"))
-      .select("src", "dst") // src > dst, canonical
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // All loop persists route through IntermediateCaches so the documented
+    // cache contract (Pipeline.clearIntermediateCaches) can release the
+    // final converged star graph — the returned assignments are lazy over
+    // it, so run() itself must not unpersist it. Superseded iterations are
+    // unpersisted in-loop (the tracked double-release is a no-op).
+    var e = IntermediateCaches.persistTracked(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .select(least($"src", $"dst").as("dst"), greatest($"src", $"dst").as("src"))
+        .select("src", "dst") // src > dst, canonical
+        .distinct())
 
     var converged = false
     var iter = 0
@@ -153,11 +164,16 @@ object ConnectedComponents {
       converged = sig == prevSig
       prevSig = sig
       e.unpersist()
-      e = small.persist(StorageLevel.MEMORY_AND_DISK)
-      iter += 1
+      e = IntermediateCaches.persistTracked(small)
+      iter += 2 // two star rounds ran — count both against maxIterations
       if (debugTiming)
-        println(f"[cc] iter $iter (2 star rounds): ${(System.nanoTime() - iterT0) / 1e9}%.2f s, sig=$sig")
+        println(f"[cc] rounds $iter: ${(System.nanoTime() - iterT0) / 1e9}%.2f s, sig=$sig")
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIterations star rounds " +
+          s"($iter ran) — emitting the unconverged graph would silently produce " +
+          "wrong cluster assignments; raise maxIterations")
 
     // star graph: every src points at its component's min id; roots appear
     // only as dst. Emit both directions of the assignment.

@@ -380,8 +380,24 @@ object PairGen {
   * as provenance (≙ Splink match_key, `person_1/link_model_per.py:489`).
   *
   * The bucket key packs the band index into the top 8 bits of the 64-bit
-  * band hash (band hashes are already band-scoped, so 56 bits of hash per
-  * band is plenty) — provenance is recovered with a shift, no extra join.
+  * band hash — provenance is recovered with a shift, no extra join, and
+  * the key stays a primitive long through PairGen's whole skew machinery
+  * (hash-agg buffers, range partitioning, the typed chain kernel).
+  *
+  * Collision math for the 56-bit hash space at target scale (why this is
+  * safe at 10^12 docs and a struct (band_idx, hash64) key is not needed):
+  * band hashes are band-seeded, so truncation collisions only merge
+  * buckets WITHIN a band. At 10^12 docs a band holds ≤ 2^40 distinct keys;
+  * expected colliding key pairs per band ≈ (2^40)^2 / (2 · 2^56) = 2^23,
+  * ×128 bands (worst banding) ≈ 2^30 spurious bucket merges. Bucket
+  * occupancy is ~1 doc for the non-skew mass, so each merge adds O(1)
+  * spurious candidate pairs → ~10^9 extra candidates against the ~10^12+
+  * genuine candidate volume at that scale: ≤ 0.1% inflation, every such
+  * pair still exact-verified downstream (Scoring.exactVerify), and two
+  * hot buckets colliding are chain-paired not cross-multiplied
+  * (PairGen caps), so no quadratic blowup path exists. Correctness is
+  * unaffected (candidates are a superset either way); the cost is the
+  * bounded candidate inflation above.
   */
 object Blocking {
 

@@ -60,6 +60,41 @@ class SnapshotSpec extends SparkSpec {
     assert(fresh.sameElements(full))
   }
 
+  test("expireSnapshots removes superseded data dirs; resume stays byte-identical") {
+    val root = tmpDir()
+    val store = new SnapshotStore(root)
+    // three commits to the same stage → three stage-<id> data dirs
+    val expected = Seq((1L, "x"), (2L, "y"), (3L, "z"))
+    expected.zipWithIndex.foreach { case (_, i) =>
+      store.commit("st", expected.take(i + 1).toDF("id", "v"), s"cfg$i")
+    }
+    def dataDirs() = Files.list(Paths.get(root, "data")).iterator().asScala.toList
+      .map(_.getFileName.toString).sorted
+    assert(dataDirs().size == 3, s"expected 3 data dirs, got ${dataDirs()}")
+    val deleted = store.expireSnapshots(keepLast = 1)
+    assert(deleted == 2, s"expected 2 expired, got $deleted")
+    assert(dataDirs().size == 1)
+    // the surviving dir is the current manifest's — resume is unaffected
+    val back = store.latest(spark, "st", "cfg2")
+    assert(back.isDefined)
+    assert(back.get.as[(Long, String)].collect().sortBy(_._1).toSeq == expected)
+    // a fresh store instance (restarted job) also still resumes
+    assert(new SnapshotStore(root).latest(spark, "st", "cfg2").isDefined)
+    // idempotent: nothing left to expire
+    assert(store.expireSnapshots(keepLast = 1) == 0)
+  }
+
+  test("expireSnapshots never deletes a current manifest's dir even when ids skew") {
+    val root = tmpDir()
+    val store = new SnapshotStore(root)
+    store.commit("a", Seq((1L, "p")).toDF("id", "v"), "c")   // a-1 (current for a)
+    store.commit("b", Seq((2L, "q")).toDF("id", "v"), "c")   // b-2 (current for b)
+    store.commit("b", Seq((3L, "r")).toDF("id", "v"), "c")   // b-3 supersedes b-2
+    assert(store.expireSnapshots(keepLast = 1) == 1) // only b-2 goes
+    assert(store.latest(spark, "a", "c").isDefined)
+    assert(store.latest(spark, "b", "c").get.count() == 1)
+  }
+
   test("lineage snapshots are committed per stage") {
     val root = tmpDir()
     val docs = Corpus.generate(spark, 200)

@@ -145,6 +145,24 @@ class KnnSpec extends SparkSpec {
     assert(a.length == 400)
   }
 
+  test("ivfTop1 defaulted k: ONE eager job (count folded into the pick), explicit-k parity") {
+    val emb = clustered.select("vec_id", "embedding")
+    emb.count() // materialize the suite cache outside the measured window
+    // the eager part of ivfTop1 is the centroid pick; defaulted k must not
+    // add a separate count() job in front of it
+    spark.sparkContext.setJobGroup("graft-ivf-pick", "centroid pick job audit")
+    val lazyResult = Knn.ivfTop1(spark, emb) // no action on the result yet
+    spark.sparkContext.clearJobGroup()
+    Thread.sleep(2000) // status store is fed async from the listener bus
+    val picked = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-ivf-pick")
+    assert(picked.length == 1,
+      s"defaulted-k centroid pick ran ${picked.length} jobs (want 1 — no separate count)")
+    // parity: the defaulted path must equal the explicit k = max(16, sqrt n)
+    val kExp = math.max(16, math.sqrt(400.0).toInt)
+    val explicit = Knn.ivfTop1(spark, emb, k = kExp).orderBy("vec_id").as[(Long, Long)].collect()
+    assert(lazyResult.orderBy("vec_id").as[(Long, Long)].collect().sameElements(explicit))
+  }
+
   test("empty embeddings table: every ANN entry point returns empty instead of throwing") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Knn.lshTop1(spark, empty, EngineConfig.default).count() == 0)

@@ -89,6 +89,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(wrote, "reliable path must write to the checkpoint dir")
   }
 
+  test("exhausting maxIterations without fixpoint throws, never silently mislabels") {
+    // a 200-node path needs ~8 star rounds; a budget of 2 rounds cannot
+    // converge and must surface as a failure, not an unconverged cluster set
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(spark, path, maxIterations = 2, fastPathMaxEdges = 0L)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("distributed CC persists are released by clearIntermediateCaches") {
+    graft.Pipeline.clearIntermediateCaches(spark) // flush older suite state
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val rnd = new java.util.SplittableRandom(7)
+    (1 to 3).foreach { _ =>
+      val edges = (1 to 200).map(_ => (rnd.nextLong(150), rnd.nextLong(150)))
+        .filter(e => e._1 != e._2).toDF("src", "dst")
+      ConnectedComponents.run(spark, edges, fastPathMaxEdges = 0L).count()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size > baseline,
+      "expected the converged star graphs to be cached while results are live")
+    graft.Pipeline.clearIntermediateCaches(spark)
+    // clear() releases the tracked SQL caches synchronously; the loop's
+    // superseded localCheckpoint RDDs are reclaimed by the ContextCleaner
+    // once unreachable — poll with GC nudges for the combined drain
+    val deadline = System.currentTimeMillis + 30000
+    while (spark.sparkContext.getPersistentRDDs.size > baseline &&
+        System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      s"stranded cached RDDs after clear: ${spark.sparkContext.getPersistentRDDs.size - baseline}")
+  }
+
   test("assign: singletons keep their own id") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("src", "dst")
