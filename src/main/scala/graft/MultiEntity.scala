@@ -1,0 +1,73 @@
+package graft
+
+import graft.compare.PersonParity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-entity orchestrator — the reference's §3.3 lifecycle
+  * (`person_2/person.py:28-41`) re-expressed Spark-first:
+  *
+  *   1. a sequential driver-side loop runs one dedup model per entity type
+  *      (person/child/parent/witness each with its own model JSON and
+  *      threshold, `person_2/person.py:28-32`) — here each entity brings its
+  *      own `dedup` function (typically [[Pipeline.runLite]] with a
+  *      per-entity [[graft.model.EngineConfig.forThreshold]] config);
+  *   2. the per-entity lookups union into ONE namespaced lookup
+  *      (`person_2/fv_all_person_lookup.sql:30-115`: DENSE_RANK per type +
+  *      1M/2M/3M/4M/5M range bases) via the scale-safe two-phase dense-id
+  *      form ([[PersonParity.namespacedIds]] — no single-partition window);
+  *   3. master rows per type insert into the unified table and sparse
+  *      columns back-fill from the highest-ordered non-master cluster
+  *      member (`person_2/fv_person.sql:36-338`,
+  *      [[PersonParity.crossEntityFill]]).
+  *
+  * Driver surface: Queries.q39 runs this lifecycle end-to-end with a
+  * DuckDB oracle; MultiEntitySpec drives it with real per-entity LSH
+  * configs through runLite.
+  */
+object MultiEntity {
+
+  /** One entity's model: its namespace range base and its dedup function
+    * `docs(id, …) => assignments(id, cluster_id)` — the analog of one
+    * `Person_x().execute(…)` with its own trained model + threshold. */
+  final case class EntityModel(
+      entityType: String,
+      rangeBase: Long,
+      dedup: DataFrame => DataFrame)
+
+  /** Sequential per-entity dedup loop + unified namespaced lookup
+    * (`fv_all_person_lookup` analog). Output columns: entity_type, id,
+    * cluster_id, new_id (= rangeBase - 1 + dense rank of cluster_id within
+    * the entity), is_master (J7 semantics: the row IS its cluster's min). */
+  def unifiedLookup(models: Seq[(EntityModel, DataFrame)]): DataFrame = {
+    require(models.nonEmpty, "at least one entity model required")
+    require(models.map(_._1.entityType).distinct.size == models.size,
+      "entity types must be unique")
+    val lookup = models.map { case (m, docs) =>
+      m.dedup(docs)
+        .select(col("id"), col("cluster_id"))
+        .withColumn("entity_type", lit(m.entityType))
+    }.reduce(_ unionByName _)
+    val bases = models.map { case (m, _) => m.entityType -> m.rangeBase }.toMap
+    PersonParity.namespacedIds(lookup, bases)
+      .withColumn("is_master", col("id") === col("cluster_id"))
+  }
+
+  /** Unified master table with cross-entity back-fills (`fv_person`
+    * analog): one row per cluster (the master), each `fillCol` COALESCEd
+    * from the highest-`orderKey` non-master member holding a value —
+    * keyed by the namespaced new_id, i.e. across the unioned namespace
+    * exactly like the reference's cni_number / parent-status fills
+    * (`person_2/fv_person.sql:268-338`).
+    *
+    * @param payload per-id columns to carry/fill: (id, fillCols…) */
+  def unifiedMasters(lookup: DataFrame, payload: DataFrame,
+                     fillCols: Seq[String], orderKey: Column): DataFrame = {
+    val members = lookup.join(payload, Seq("id"), "left")
+    val masters = members.filter(col("is_master"))
+    val donors = members.filter(!col("is_master"))
+    fillCols.foldLeft(masters) { (m, c) =>
+      PersonParity.crossEntityFill(m, donors, c, orderKey, clusterCol = "new_id")
+    }
+  }
+}

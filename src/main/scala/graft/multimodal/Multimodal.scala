@@ -41,12 +41,67 @@ object Multimodal {
     MediaMeta(bb.getInt(), bb.getInt(), bb.getLong())
   }
 
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(p: Array[Byte]): Boolean =
+    p.length >= 24 && p.take(8).sameElements(PngSignature)
+
+  def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+
+  /** REAL PNG header parse (pure JVM, PNG spec §11.2.2): the 8-byte
+    * signature is followed by the IHDR chunk, whose width/height are
+    * big-endian 32-bit at byte offsets 16 and 20. durationMs = 0 (still). */
+  def parsePng(p: Array[Byte]): MediaMeta = {
+    require(isPng(p), "not a PNG payload")
+    require(p.length >= 24 && p.slice(12, 16).sameElements("IHDR".getBytes),
+      "PNG signature without IHDR chunk")
+    MediaMeta(be32(p, 16), be32(p, 20), 0L)
+  }
+
+  /** REAL JPEG header parse (pure JVM, JPEG/JFIF marker scan): walk the
+    * FF-prefixed segments from SOI to the first start-of-frame marker
+    * (FFC0–FFCF except the non-frame C4/C8/CC), whose payload carries
+    * height then width as big-endian 16-bit after the precision byte. */
+  def parseJpeg(p: Array[Byte]): MediaMeta = {
+    require(isJpeg(p), "not a JPEG payload")
+    var i = 2
+    while (i + 3 < p.length) {
+      require((p(i) & 0xff) == 0xff, f"bad JPEG marker alignment at $i")
+      val marker = p(i + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        require(i + 8 < p.length, "truncated SOF segment")
+        return MediaMeta(width = be16(p, i + 7), height = be16(p, i + 5), durationMs = 0L)
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        i += 2 // standalone marker, no length field
+      } else {
+        i += 2 + be16(p, i + 2) // segment length includes its own 2 bytes
+      }
+    }
+    throw new IllegalArgumentException("no SOF marker found in JPEG payload")
+  }
+
+  /** Dispatching decode: REAL header parsers for PNG/JPEG payloads (no
+    * codec library needed for dimensions), deterministic stub for
+    * everything else (video/audio — the container has no codec libs; a
+    * real build links ffmpeg-style decoders here). */
+  def decodeMeta(payload: Array[Byte]): MediaMeta =
+    if (isPng(payload)) parsePng(payload)
+    else if (isJpeg(payload)) parseJpeg(payload)
+    else decodeStub(payload)
+
   /** Batch decode: one pass per partition, no shuffle (mapInPandas shape). */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val m = decodeStub(r.payload)
+        val m = decodeMeta(r.payload)
         DecodedRow(r.id, r.mediaType, m.width, m.height, m.durationMs, r.payload.length)
       }
     }

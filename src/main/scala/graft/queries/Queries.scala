@@ -491,6 +491,76 @@ object Queries {
     // Splink models are retuned by threshold_match_weight. Rows-only
     // (minhash-dependent); EngineConfigSpec pins the band choice and
     // StagesSpec the recall at the retuned threshold.
+    // §3.3 multi-entity orchestrator END-TO-END (person_2/person.py:28-41 →
+    // fv_all_person_lookup.sql:30-115 → fv_person.sql:268-338): a
+    // sequential driver loop over three entity-typed slices of the corpus
+    // (doc_id mod 3), each through its own dedup model with a DISTINCT
+    // threshold (0.8 / 0.7 / 0.85 — the analog of the reference's five
+    // per-model thresholds 22/18.5/22/10.5/5.8), unioned into ONE
+    // namespaced lookup (dense ids per type from 1M/2M/3M range bases via
+    // the scale-safe two-phase form), masters selected (J7), and a planted
+    // sparse `cni` column back-filled onto masters from the
+    // highest-ordered non-master cluster member (crossEntityFill). Dup
+    // structure is planted per entity: an exact copy (+30M — exercises
+    // each per-entity exact-dup pre-pass + re-attach; +30M ≡ 0 mod 3
+    // keeps it in its base's entity) and a 90%-prefix near-dup (+60M).
+    // Only planted rows carry cni, so every planted cluster's master must
+    // back-fill. The DuckDB oracle reproduces the whole lifecycle
+    // independently (entity-partitioned dedup + closure + dense ranks +
+    // arg-max fill).
+    "q39_multi_entity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def headFrac(f: Double) = {
+        val toks = split(col("text"), " ")
+        array_join(slice(toks, lit(1), ceil(size(toks) * f).cast("int")), " ")
+      }
+      val aug = docs
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 60000000L).as("doc_id"), headFrac(0.9).as("text")))
+      val payload = aug.select(col("doc_id").as("id"),
+        when(col("doc_id") >= 30000000L, col("doc_id")).as("cni"))
+
+      // one reference-shaped entity pipeline: exact-dup pre-pass →
+      // candidate pairs at the entity's threshold → CC → holdout re-attach
+      def entityDedup(num: Int, den: Int)(slice: DataFrame): DataFrame = {
+        val (surv, hold) = graft.stages.ExactDedup.splitByHash(slice, idCol = "doc_id")
+        val pairs = trigramPairsOf(surv, num, den)
+        val sa = ConnectedComponents.assign(s, surv.select(col("doc_id").as("id")),
+          pairs.select(col("doc_id_l").as("src"), col("doc_id_r").as("dst")))
+        val ha = hold
+          .join(sa.withColumnRenamed("id", "__sid"),
+            hold("master_id") === col("__sid"), "left")
+          .select(col("doc_id").as("id"),
+            coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
+        sa.unionByName(ha)
+      }
+      val thresholds = Seq((4, 5), (7, 10), (17, 20)) // J >= 0.8 / 0.7 / 0.85
+      val models = thresholds.zipWithIndex.map { case ((num, den), e) =>
+        (graft.MultiEntity.EntityModel(s"e$e", (e + 1) * 1000000L, entityDedup(num, den)),
+          aug.filter(col("doc_id") % 3 === e))
+      }
+      val lookup = graft.MultiEntity.unifiedLookup(models)
+      val masters = graft.MultiEntity.unifiedMasters(lookup, payload, Seq("cni"), col("id"))
+      val rest = lookup.filter(!col("is_master")).join(payload, Seq("id"), "left")
+      masters.unionByName(rest)
+        .select(col("id").as("doc_id"), col("entity_type"), col("cluster_id"),
+          col("new_id"), col("is_master").cast("int").as("is_master"),
+          coalesce(col("cni"), lit(-1L)).as("cni"))
+        .orderBy("doc_id")
+    }),
+
+    // A9 column profiling (profile_columns / completeness_chart analog,
+    // person_1/link_model_per.py:419-434): cardinality + completeness per
+    // column as a metrics table, exact mode so DuckDB can oracle it (the
+    // default approx HLL mode is spec-pinned in ProfilingSpec)
+    "q40_profile_columns" -> ((s, dir) => {
+      graft.stages.Profiling.profileColumns(
+          t(s, dir, "documents"), Seq("doc_id", "lang", "source", "text"), approx = false)
+        .orderBy("col_name")
+    }),
+
     "q38_threshold_tuned" -> ((s, dir) => {
       GraftFunctions.register(s)
       val tuned = EngineConfig.forThreshold(0.8)
@@ -520,8 +590,11 @@ object Queries {
     trigramPairsOf(t(s, dir, "documents"))
 
   /** [[trigramPairsFull]] over an arbitrary (doc_id, text) frame —
-    * q37 runs it over exact-dedup survivors of an augmented corpus. */
-  private def trigramPairsOf(docs: DataFrame): DataFrame = {
+    * q37 runs it over exact-dedup survivors of an augmented corpus; q39's
+    * per-entity models retune only the Jaccard threshold `num/den`
+    * (integer-exact, mirrored in the oracle) the way the reference's five
+    * models retune only threshold_match_weight (SURVEY §2.9). */
+  private def trigramPairsOf(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -539,7 +612,7 @@ object Queries {
       .groupBy("doc_id_l", "doc_id_r").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_id_l"), col("n").as("size_l")), "doc_id_l")
       .join(sizes.select(col("doc_id").as("doc_id_r"), col("n").as("size_r")), "doc_id_r")
-      .filter(col("inter") * 5 >= (col("size_l") + col("size_r") - col("inter")) * 4)
+      .filter(col("inter") * den >= (col("size_l") + col("size_r") - col("inter")) * num)
       .select("doc_id_l", "doc_id_r", "inter", "size_l", "size_r")
   }
 
@@ -763,11 +836,75 @@ object Queries {
          |LEFT JOIN jpairs p ON p.doc_id_l = a.cluster_id AND p.doc_id_r = a.doc_id
          |LEFT JOIN hold h ON h.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin,
+    "q39_multi_entity" ->
+      s"""WITH RECURSIVE
+         |aug AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 30000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 60000000 AS doc_id,
+         |               array_to_string(string_split(text, ' ')[1:CAST(ceil(len(string_split(text, ' ')) * 0.9) AS INT)], ' ') AS text
+         |        FROM documents WHERE doc_id % 20 = 0),
+         |ent AS (SELECT doc_id, doc_id % 3 AS e, text FROM aug),
+         |ranked AS (SELECT doc_id, e, text,
+         |           row_number() OVER (PARTITION BY e, text ORDER BY doc_id) AS rn,
+         |           min(doc_id) OVER (PARTITION BY e, text) AS master_id FROM ent),
+         |surv AS (SELECT doc_id, e, text FROM ranked WHERE rn = 1),
+         |hold AS (SELECT doc_id, e, master_id FROM ranked WHERE rn > 1),
+         |toks AS (SELECT doc_id, e, string_split(text, ' ') AS t FROM surv),
+         |grams0 AS (SELECT DISTINCT doc_id, e, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+         |           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams0 GROUP BY doc_id),
+         |hot AS (SELECT e, g FROM grams0 GROUP BY e, g HAVING count(*) > $TrigramDfCap),
+         |grams AS (SELECT g0.* FROM grams0 g0 ANTI JOIN hot h ON h.e = g0.e AND h.g = g0.g),
+         |ipairs AS (SELECT a.e, a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+         |           FROM grams a JOIN grams b ON a.e = b.e AND a.g = b.g AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2, 3),
+         |jpairs AS (SELECT p.e, p.l, p.r FROM ipairs p
+         |           JOIN sizes sa ON sa.doc_id = p.l JOIN sizes sb ON sb.doc_id = p.r
+         |           WHERE CASE p.e
+         |             WHEN 0 THEN p.inter * 5 >= 4 * (sa.n + sb.n - p.inter)
+         |             WHEN 1 THEN p.inter * 10 >= 7 * (sa.n + sb.n - p.inter)
+         |             ELSE p.inter * 20 >= 17 * (sa.n + sb.n - p.inter) END),
+         |bidir AS (SELECT l, r FROM jpairs UNION SELECT r, l FROM jpairs),
+         |reach AS (SELECT l AS a, r AS b FROM bidir
+         |          UNION SELECT reach.a, bidir.r FROM reach JOIN bidir ON reach.b = bidir.l),
+         |clus AS (SELECT d.doc_id, d.e, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |         FROM surv d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id, d.e),
+         |allc AS (SELECT doc_id, e, cluster_id FROM clus
+         |         UNION ALL
+         |         SELECT h.doc_id, h.e, coalesce(c.cluster_id, h.master_id) AS cluster_id
+         |         FROM hold h LEFT JOIN clus c ON c.doc_id = h.master_id),
+         |ids AS (SELECT a.*,
+         |        (a.e + 1) * 1000000 - 1
+         |          + dense_rank() OVER (PARTITION BY a.e ORDER BY a.cluster_id) AS new_id
+         |        FROM allc a),
+         |mem AS (SELECT i.*,
+         |        CASE WHEN i.doc_id >= 30000000 THEN i.doc_id END AS cni,
+         |        i.doc_id = i.cluster_id AS is_m FROM ids i),
+         |fills AS (SELECT new_id, max_by(cni, doc_id) AS fill FROM mem
+         |          WHERE NOT is_m AND cni IS NOT NULL GROUP BY new_id)
+         |SELECT m.doc_id, 'e' || CAST(m.e AS VARCHAR) AS entity_type, m.cluster_id,
+         |  m.new_id,
+         |  CAST(m.is_m AS INT) AS is_master,
+         |  coalesce(CASE WHEN m.is_m THEN coalesce(m.cni, f.fill) ELSE m.cni END, -1) AS cni
+         |FROM mem m LEFT JOIN fills f ON f.new_id = m.new_id AND m.is_m
+         |ORDER BY m.doc_id""".stripMargin,
     "q27_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_cluster_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
-        |count(DISTINCT lang) AS n_langs FROM documents""".stripMargin
+        |count(DISTINCT lang) AS n_langs FROM documents""".stripMargin,
+    "q40_profile_columns" ->
+      """SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS n_distinct,
+        |       count(doc_id) AS n_nonnull, count(*) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(DISTINCT lang), count(lang), count(*) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(DISTINCT source), count(source), count(*) FROM documents
+        |UNION ALL
+        |SELECT 'text', count(DISTINCT text), count(text), count(*) FROM documents
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -36,6 +36,59 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_.id == 1L).map(_.frameIdx).sorted.sameElements(Array(0, 2, 4, 6)))
   }
 
+  /** A real (minimal, spec-valid) PNG: signature + IHDR chunk declaring
+    * 2×3, 8-bit RGB. Header-complete — exactly what parsePng reads. */
+  private def tinyPng(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes)
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  /** A real JPEG header: SOI, JFIF APP0, a DQT segment the scanner must
+    * skip, then SOF0 carrying height/width. */
+  private def tinyJpeg(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 20 + 9 + 13)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+    bb.put("JFIF".getBytes).put(0.toByte)
+    bb.put(1.toByte).put(1.toByte).put(0.toByte)
+    bb.putShort(72).putShort(72).put(0.toByte).put(0.toByte)
+    bb.put(0xff.toByte).put(0xdb.toByte).putShort(7) // DQT, len 7 (stub body)
+    bb.put(Array[Byte](0, 1, 2, 3, 4))
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(11) // SOF0, len 11
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    bb.put(1.toByte).put(0x11.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  test("real PNG/JPEG header parse: dimensions recovered, stub kept for video") {
+    assert(parsePng(tinyPng(2, 3)) == MediaMeta(2, 3, 0L))
+    assert(parsePng(tinyPng(1920, 1080)) == MediaMeta(1920, 1080, 0L))
+    assert(parseJpeg(tinyJpeg(7, 5)) == MediaMeta(7, 5, 0L))
+    assert(parseJpeg(tinyJpeg(4032, 3024)) == MediaMeta(4032, 3024, 0L))
+    // dispatch: image payloads hit the real parsers, others the stub
+    assert(decodeMeta(tinyPng(10, 20)) == MediaMeta(10, 20, 0L))
+    assert(decodeMeta(tinyJpeg(30, 40)) == MediaMeta(30, 40, 0L))
+    assert(decodeMeta(encodeStub(9L, 640, 480, 1234L)) == MediaMeta(640, 480, 1234L))
+    // corrupt payloads fail loudly, not with garbage dimensions
+    intercept[IllegalArgumentException](parsePng(Array.fill[Byte](30)(0x89.toByte)))
+    intercept[IllegalArgumentException](parseJpeg(tinyJpeg(7, 5).take(20)))
+  }
+
+  test("decode end-to-end over mixed real-image + stub-video payloads") {
+    val mixed = Seq(
+      MediaRow(1L, "image", tinyPng(64, 32)),
+      MediaRow(2L, "image", tinyJpeg(100, 50)),
+      MediaRow(3L, "video", encodeStub(3L, 1280, 720, 60000L))).toDS()
+    val out = decode(mixed).collect().map(r => r.id -> ((r.width, r.height, r.durationMs))).toMap
+    assert(out(1L) == ((64, 32, 0L)))
+    assert(out(2L) == ((100, 50, 0L)))
+    assert(out(3L) == ((1280, 720, 60000L)))
+  }
+
   test("resize: aspect-preserving metadata transform") {
     val r = resize(decode(media).toDF(), maxDim = 320)
       .filter(col("id") === 10L)
