@@ -102,6 +102,8 @@ object ConnectedComponents {
       val arr = e.limit(bound + 1).as[(Long, Long)].collect()
       if (arr.length <= bound) {
         e.unpersist()
+        ScaleStats.ccDriverRuns.incrementAndGet()
+        ScaleStats.recordMax(ScaleStats.maxCcDriverEdges, arr.length.toLong)
         val assigned = driverUnionFind(arr)
         if (debugTiming)
           println(f"[cc] driver fast path (${arr.length} edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
@@ -115,6 +117,8 @@ object ConnectedComponents {
     }
     // materialize input once so iterations read only the cache
     val edgeCount = e.count()
+    ScaleStats.ccDistributedRuns.incrementAndGet()
+    ScaleStats.recordMax(ScaleStats.maxCcDistributedEdges, edgeCount)
     if (debugTiming)
       println(f"[cc] input materialize ($edgeCount edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
     // one large-star + small-star round as a lazy transform (Kiveris et

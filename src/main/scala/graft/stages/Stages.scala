@@ -175,7 +175,9 @@ object PairGen {
       .select("key")
       .limit(BroadcastKeyLimit.toInt + 1)
       .as[Long].collect()
+    ScaleStats.recordMax(ScaleStats.maxBigKeysCollected, bigArr.length.toLong)
     if (bigArr.length > BroadcastKeyLimit) {
+      ScaleStats.windowedFallbacks.incrementAndGet()
       grouped.unpersist()
       return pairsWindowed(buckets0, allPairsCap, dropHotAbove)
     }

@@ -1,0 +1,123 @@
+package graft.tools
+
+import graft.expr.GraftFunctions
+import graft.fixtures.Corpus
+import graft.model.EngineConfig
+import graft.stages._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe (VERDICT r3 item 2): run the full dedup pipeline at 5M+
+  * docs on a pinned core budget, recording per-stage walls AND the
+  * observed values of every driver-side bound the engine argues about
+  * ([[graft.stages.ScaleStats]]):
+  *
+  *   - PairGen hot-key collect vs BroadcastKeyLimit (2M) — and whether the
+  *     windowed fallback ever fired;
+  *   - CC fast-path edge collect vs DriverFastPathMaxEdges (2M) / the
+  *     distributed path's edge count;
+  *
+  * so BENCH.md can report measured headroom instead of an argument.
+  * Stage walls are measured by forcing each stage with a count — that adds
+  * actions the fused pipeline doesn't run, so the probe ALSO measures one
+  * un-instrumented end-to-end wall (same discipline as Bench) for the
+  * throughput row. Pin externally: `taskset -c 0-15 SPARK_DRIVER_MEM=64g
+  * sbt -batch "runMain graft.tools.ScaleProbe 5000000"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 5000000L
+    val cores = sys.env.getOrElse("GRAFT_CORES", "16").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // At this size a single G1 full-GC pause can exceed the default 10 s
+      // heartbeat × 120 s timeout in local mode (driver and executor share
+      // the heap) — the first probe run died to a 133 s heartbeat gap, not
+      // to work. Real clusters set exactly these for heavy executors.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val cfg = EngineConfig.default
+
+    val corpus = Corpus.generate(spark, n).select("id", "text").persist()
+    val total = corpus.count()
+    println(s"[scale] corpus $total docs, $cores cores")
+
+    // ---- staged run: force each boundary, record walls + bound telemetry
+    ScaleStats.reset()
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] stage $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+    // Stage-by-stage with caches released as soon as their consumers have
+    // materialized (the fused pipeline never holds everything at once — a
+    // probe that does would be measuring its own memory pressure, which is
+    // exactly what killed the first 5M run).
+    val (survivors0, holdouts) = ExactDedup.splitByHash(corpus, persistHoldouts = true)
+    val survivors = IntermediateCaches.persistTracked(survivors0)
+    val nSurv = timed("exact_dedup") { survivors.count() }
+    val nHold = holdouts.count()
+    corpus.unpersist()
+    val sigs = IntermediateCaches.persistTracked(
+      Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash"))
+    timed("signatures") { sigs.count() }
+    val candidates = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
+    val nCand = timed("lsh_pairgen") { candidates.count() }
+    val scored = IntermediateCaches.persistTracked(
+      Scoring.exactVerify(Scoring.score(candidates, sigs, cfg), survivors, cfg))
+    val simEdges = IntermediateCaches.persistTracked(Scoring.edges(scored))
+    val nSim = timed("score_verify") { simEdges.count() }
+    candidates.unpersist(); scored.unpersist(); sigs.unpersist()
+    val subEdges = IntermediateCaches.persistTracked(
+      Substring.edges(survivors, cfg).select("src", "dst"))
+    val nSub = timed("substring") { subEdges.count() }
+    // CC only needs the id column — keep the 8 B/row slice cached so
+    // dropping the (id, text) cache doesn't force a corpus recompute
+    val survivorIds = survivors.select("id").persist()
+    survivorIds.count()
+    survivors.unpersist()
+    val allEdges = simEdges.unionByName(subEdges)
+    val assign = timed("connected_cc") {
+      val a = ConnectedComponents.assign(
+        spark, survivorIds, allEdges, cfg.maxCcIterations,
+        cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges).persist()
+      a.count(); a
+    }
+    val nClusters = assign.agg(countDistinct("cluster_id")).head().getLong(0)
+    val staged = ScaleStats.snapshot()
+    println(s"[scale] survivors=$nSurv holdouts=$nHold candidates=$nCand " +
+      s"sim_edges=$nSim substring_edges=$nSub clusters=$nClusters")
+    staged.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scale] bound $k = $v") }
+    assign.unpersist(); holdouts.unpersist(); survivorIds.unpersist()
+    graft.Pipeline.clearIntermediateCaches(spark)
+
+    // ---- un-instrumented end-to-end wall (Bench discipline, 1 rep — this
+    // probe is about bounds; the throughput row still comes from min-of-k)
+    spark.sharedState.cacheManager.clearCache()
+    corpus.persist(); corpus.count()
+    ScaleStats.reset()
+    val t0 = System.nanoTime()
+    val nOut = graft.Pipeline.runLite(spark, corpus).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    graft.Pipeline.clearIntermediateCaches(spark)
+    val e2e = ScaleStats.snapshot()
+    println(f"[scale] end_to_end $wall%.1f s (${total / wall}%.0f docs/s), output rows $nOut")
+    val json = (Map(
+      "docs" -> total, "cores" -> cores.toLong,
+      "wall_sec" -> wall.toLong, "docs_per_sec" -> (total / wall).toLong,
+      "survivors" -> nSurv, "candidates" -> nCand,
+      "sim_edges" -> nSim, "substring_edges" -> nSub,
+      "clusters" -> nClusters) ++ e2e)
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    spark.stop()
+    println(json)
+  }
+}
