@@ -56,7 +56,19 @@ object Golden {
     val sorted = masters.select(col(keyCol)).distinct()
       .repartitionByRange(n, col(keyCol))
       .sortWithinPartitions(col(keyCol))
-    val withPid = sorted.withColumn("__pid", spark_partition_id())
+    // The range exchange SAMPLES its boundaries per physical-plan execution
+    // (seeded by RDD id), so the counts action below and the lazy rank
+    // window would otherwise each re-execute the exchange with DIFFERENT
+    // boundaries — per-partition offsets keyed to stale pids, i.e.
+    // duplicate/gapped ids (observed at sf0.1 multi-partition scale).
+    // Persisting pins ONE materialized partitioning for every consumer;
+    // recompute of a lost block re-reads the same shuffle dependency
+    // (boundaries are fixed per exchange execution), never resamples.
+    // The final ids are boundary-independent either way — offsets + local
+    // ranks reconstruct the same global order wherever the cuts fall — so
+    // results stay deterministic across runs and parallelism levels.
+    val withPid = IntermediateCaches.persistTracked(
+      sorted.withColumn("__pid", spark_partition_id()))
     val counts = withPid.groupBy("__pid").count().as[(Int, Long)].collect().toMap
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))

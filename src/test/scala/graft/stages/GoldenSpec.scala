@@ -42,6 +42,32 @@ class GoldenSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("denseIds: bijective + order-preserving at multi-partition scale, " +
+      "stable across repeated evaluation (sf0.1 regression)") {
+    // 60k sparse shuffled keys across 32 range partitions. Before the
+    // partitioning was pinned with a persist, the counts action and the
+    // rank window each re-executed the range exchange with independently
+    // SAMPLED boundaries — per-partition offsets keyed to stale pids gave
+    // duplicate/gapped ids (caught by the q39 oracle at sf0.1).
+    val keys = (1L to 60000L).map(i => graft.expr.Hashing.mix64(i) & 0xFFFFFFFFL)
+    val masters = keys.toDF("cluster_id")
+    val out = Golden.denseIds(spark, masters, "cluster_id", 5000000L, partitions = 32)
+    // evaluate the SAME lazy output twice: with resampled boundaries these
+    // disagreed run-to-run even when each individual run looked plausible
+    val a = out.as[(Long, Long)].collect()
+    val b = out.as[(Long, Long)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    val distinctKeys = keys.distinct.sorted
+    val byKey = a.toMap
+    assert(byKey.size == distinctKeys.length)
+    assert(byKey.values.toSeq.distinct.size == distinctKeys.length, "ids must be unique")
+    // dense + order-preserving: sorted keys get exactly base+1..base+n
+    distinctKeys.zipWithIndex.foreach { case (k, i) =>
+      assert(byKey(k) == 5000001L + i, s"key $k rank ${i + 1}")
+    }
+    graft.Pipeline.clearIntermediateCaches(spark)
+  }
+
   test("restoreOriginal: update-join restores source-cased values by id (J6)") {
     val lookup = Seq((1L, "anna maria", 10L), (2L, "bob", 20L), (3L, "cee", 30L))
       .toDF("id", "name", "cluster_id")
