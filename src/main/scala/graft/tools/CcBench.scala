@@ -1,6 +1,7 @@
 package graft.tools
 
 import graft.stages.ConnectedComponents
+import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: CC in isolation on a synthetic edge list. */
@@ -9,20 +10,46 @@ object CcBench {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_PARTS", "8"))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val n = if (args.nonEmpty) args(0).toInt else 2000
-    // chains of length 5 + some stars
-    val edges = (0 until n).flatMap { i =>
-      val base = i.toLong * 10
-      (0 until 4).map(j => (base + j, base + j + 1))
-    }.toDF("src", "dst")
+    // GRAFT_CC_STAGES=1: per-stage telemetry (wall, summed task run time,
+    // task count) to localize where the time goes — driver gaps vs executor
+    if (sys.env.get("GRAFT_CC_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+          t0.put(s.stageInfo.stageId, System.nanoTime())
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val si = s.stageInfo
+          val wall = Option(t0.remove(si.stageId))
+            .map(t => (System.nanoTime() - t) / 1e9).getOrElse(-1.0)
+          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} wall=$wall%.2f " +
+            f"run=${si.taskMetrics.executorRunTime / 1e3}%.1f " +
+            f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%.1f " +
+            f"gc=${si.taskMetrics.jvmGCTime / 1e3}%.1f " +
+            f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten} " +
+            si.name.take(60))
+        }
+      })
+    }
 
+    val n = if (args.nonEmpty) args(0).toInt else 2000
+    // chains of length 5: a DISTRIBUTED plan (spark.range), not a driver
+    // collection — toDF on a local Seq embeds a LocalRelation whose row
+    // Vector every Catalyst transformExpressions pass re-maps, which
+    // benchmarks the analyzer against the fixture instead of CC
+    val edges = spark.range(n.toLong * 4)
+      .select((($"id" / 4).cast("long") * 10 + $"id" % 4).as("src"),
+              (($"id" / 4).cast("long") * 10 + $"id" % 4 + 1).as("dst"))
+
+    val fastMax = sys.env.get("GRAFT_CC_FAST_MAX").map(_.toLong)
+      .getOrElse(ConnectedComponents.DriverFastPathMaxEdges)
     val t0 = System.nanoTime()
-    val cc = ConnectedComponents.run(spark, edges)
+    val cc = ConnectedComponents.run(spark, edges, fastPathMaxEdges = fastMax)
     val k = cc.select("cluster_id").distinct().count()
     println(f"[ccbench] n=$n components=$k wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()

@@ -42,7 +42,15 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
-    val cfg = EngineConfig.default
+    // GRAFT_CC_FAST_MAX=0 forces the distributed star loop even below the
+    // driver fast-path threshold — the 5M probe found the fast path still
+    // engaged at 1.24M edges (1.6× below its 2M limit), so this is the only
+    // way to time the 10^12-scale CC path at the largest local size.
+    // GRAFT_SCALE_E2E=0 skips the un-instrumented end-to-end rep (for runs
+    // that only need the staged walls + bound telemetry).
+    val cfg = sys.env.get("GRAFT_CC_FAST_MAX").map(_.toLong)
+      .foldLeft(EngineConfig.default)((c, m) => c.copy(ccFastPathMaxEdges = m))
+    val runE2e = sys.env.getOrElse("GRAFT_SCALE_E2E", "1") != "0"
 
     val corpus = Corpus.generate(spark, n).select("id", "text").persist()
     val total = corpus.count()
@@ -100,18 +108,21 @@ object ScaleProbe {
 
     // ---- un-instrumented end-to-end wall (Bench discipline, 1 rep — this
     // probe is about bounds; the throughput row still comes from min-of-k)
-    spark.sharedState.cacheManager.clearCache()
-    corpus.persist(); corpus.count()
-    ScaleStats.reset()
-    val t0 = System.nanoTime()
-    val nOut = graft.Pipeline.runLite(spark, corpus).count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    graft.Pipeline.clearIntermediateCaches(spark)
-    val e2e = ScaleStats.snapshot()
-    println(f"[scale] end_to_end $wall%.1f s (${total / wall}%.0f docs/s), output rows $nOut")
+    val (wall, e2e) = if (runE2e) {
+      spark.sharedState.cacheManager.clearCache()
+      corpus.persist(); corpus.count()
+      ScaleStats.reset()
+      val t0 = System.nanoTime()
+      val nOut = graft.Pipeline.runLite(spark, corpus, cfg).count()
+      val w = (System.nanoTime() - t0) / 1e9
+      graft.Pipeline.clearIntermediateCaches(spark)
+      println(f"[scale] end_to_end $w%.1f s (${total / w}%.0f docs/s), output rows $nOut")
+      (w, ScaleStats.snapshot())
+    } else (0.0, staged)
     val json = (Map(
       "docs" -> total, "cores" -> cores.toLong,
-      "wall_sec" -> wall.toLong, "docs_per_sec" -> (total / wall).toLong,
+      "wall_sec" -> wall.toLong,
+      "docs_per_sec" -> (if (wall > 0) (total / wall).toLong else 0L),
       "survivors" -> nSurv, "candidates" -> nCand,
       "sim_edges" -> nSim, "substring_edges" -> nSub,
       "clusters" -> nClusters) ++ e2e)
