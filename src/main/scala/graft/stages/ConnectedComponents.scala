@@ -121,31 +121,6 @@ object ConnectedComponents {
     ScaleStats.recordMax(ScaleStats.maxCcDistributedEdges, edgeCount)
     if (debugTiming)
       println(f"[cc] input materialize ($edgeCount edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")
-    // one large-star + small-star round as a lazy transform (Kiveris et
-    // al.): input and output both in canonical src > dst orientation
-    def starRound(cur: DataFrame): DataFrame = {
-      // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every
-      // strictly-larger neighbour to m.
-      val bi = cur.select($"src", $"dst")
-        .unionAll(cur.select($"dst".as("src"), $"src".as("dst")))
-      val mins = bi.groupBy("src").agg(min($"dst").as("mn"))
-        .select($"src", least($"src", $"mn").as("m"))
-      val large = bi.join(mins, "src")
-        .filter($"dst" > $"src")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .distinct()
-
-      // small-star: edges point large→small after large-star; for each u,
-      // m = min of its smaller neighbourhood ∪ itself; connect the rest to m.
-      val sMins = large.groupBy("src").agg(min($"dst").as("m"))
-      val joined = large.join(sMins, "src")
-      joined.filter($"dst" =!= $"m")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .unionAll(sMins.select($"src", $"m".as("dst")))
-        .filter($"src" =!= $"dst")
-        .distinct()
-    }
-
     while (!converged && iter < maxIterations) {
       val iterT0 = System.nanoTime()
       // TWO star rounds per convergence action: each action is one serial
@@ -156,7 +131,16 @@ object ConnectedComponents {
       // fixpoint of starRound, so its signature is unchanged by one round
       // or two; at worst one extra (no-op) round runs after the true
       // fixpoint. The lineage cut lands once per double-round.
-      val small = cut(starRound(starRound(e)))
+      // Persist BEFORE the signature action and compute the signature FROM
+      // the cached frame: the one action then populates the SQL cache as a
+      // side effect of the scan (and materializes the lazy checkpoint).
+      // Computing the signature on the raw `small` instead leaves the new
+      // e's InMemoryRelation unpopulated when the next round plans over it,
+      // which defeats exchange reuse across the double-star plan's repeated
+      // references — measured as the same shuffle executing 10-15× per
+      // round (90+ stages and 4× round-over-round wall growth at 1.2M
+      // edges) versus ~14 stages with the cache warm.
+      val small = IntermediateCaches.persistTracked(cut(doubleStarRound(e)))
 
       // convergence signature: summands bounded by 2^32 so the ANSI-mode
       // sum cannot overflow below ~2^31 edges per partition-set
@@ -168,7 +152,7 @@ object ConnectedComponents {
       converged = sig == prevSig
       prevSig = sig
       e.unpersist()
-      e = IntermediateCaches.persistTracked(small)
+      e = small
       iter += 2 // two star rounds ran — count both against maxIterations
       if (debugTiming)
         println(f"[cc] rounds $iter: ${(System.nanoTime() - iterT0) / 1e9}%.2f s, sig=$sig")
@@ -186,6 +170,61 @@ object ConnectedComponents {
       .groupBy("id").agg(min($"cluster_id").as("cluster_id"))
     assignments
   }
+
+  /** One large-star + small-star round as a lazy transform (Kiveris et
+    * al.): input and output both in canonical src > dst orientation.
+    *
+    * WINDOW formulation, not groupBy(min)+join-back: the neighbourhood
+    * minimum is attached to every edge row with min().over(partitionBy
+    * (src)) — ONE reference to the input per star instead of the 3-4 a
+    * join formulation needs (bi in the agg + bi in the join + the union).
+    * That reference count is what decides whether the composed double-
+    * round plan is executable: subtree copies multiply through the
+    * composition, and Spark's exchange reuse does NOT collapse them all —
+    * measured on 1.2M edges at 32 cores as 90-170 stages and 60-75 s PER
+    * ROUND with the join form (the same shuffle re-executing 10-15×), vs
+    * ~16 stages and 6-10 s with this form. Skew note: WindowExec buffers
+    * one partition's rows (spilling via its unsafe-row buffer) where
+    * groupBy would partial-agg map-side — acceptable here because
+    * large-star's first round breaks giant stars apart, so high-degree
+    * nodes shrink by round, and a spilled O(deg) buffer beats re-executing
+    * every upstream shuffle. */
+  private[graft] def starRound(cur: DataFrame): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every
+    // strictly-larger neighbour to m. Both orientations are emitted with
+    // ONE Generate over ONE reference — a self-union would reference cur
+    // twice, and in the composed double-round plan that duplicates the
+    // whole inner-round subtree (AQE's exchange-reuse stage cache misses
+    // on it; observed as every inner shuffle executing twice).
+    val bi = cur.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val large = bi
+      .withColumn("m", least(col("src"), min(col("dst")).over(wSrc)))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+
+    // small-star: edges point large→small after large-star; for each u,
+    // m = min of its smaller neighbourhood ∪ itself (= min(dst): every
+    // dst < src); connect the rest of the neighbourhood AND u to m. The
+    // (u, m) row is emitted once per edge and deduped — a per-group
+    // emission would need a second reference or an agg+join.
+    large
+      .withColumn("m", min(col("dst")).over(wSrc))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("m").as("dst")),
+        struct(col("src"), col("m").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** The per-convergence-action transform: two star rounds composed. */
+  private[graft] def doubleStarRound(e: DataFrame): DataFrame =
+    starRound(starRound(e))
 
   /** Driver-side union-find with path compression, min-id labeling —
     * the small-graph execution plan behind [[DriverFastPathMaxEdges]].

@@ -48,6 +48,20 @@ object CcBench {
 
     val fastMax = sys.env.get("GRAFT_CC_FAST_MAX").map(_.toLong)
       .getOrElse(ConnectedComponents.DriverFastPathMaxEdges)
+    // GRAFT_CC_EXPLAIN=1: dump the composed double-round physical plan (as
+    // the loop builds it over the cached canonical edges) to eyeball
+    // exchange reuse, then exit without running CC
+    if (sys.env.get("GRAFT_CC_EXPLAIN").contains("1")) {
+      val e = edges
+        .select($"src".cast("long"), $"dst".cast("long"))
+        .filter($"src" =!= $"dst")
+        .select(org.apache.spark.sql.functions.least($"src", $"dst").as("dst"),
+                org.apache.spark.sql.functions.greatest($"src", $"dst").as("src"))
+        .select("src", "dst").distinct().persist()
+      e.count()
+      ConnectedComponents.doubleStarRound(e).explain("formatted")
+      spark.stop(); return
+    }
     val t0 = System.nanoTime()
     val cc = ConnectedComponents.run(spark, edges, fastPathMaxEdges = fastMax)
     val k = cc.select("cluster_id").distinct().count()
