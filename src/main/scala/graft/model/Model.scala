@@ -105,7 +105,9 @@ final case class EngineConfig(
     // (the distributed loop is 4-6 rounds of pure serial scheduling time
     // on a graph this small); larger sets run large-star/small-star.
     // 0 forces the distributed path. Identical output (spec-pinned).
-    ccFastPathMaxEdges: Long = 4000000L,
+    // Must equal ConnectedComponents.DriverFastPathMaxEdges (the direct-
+    // caller default) — EngineConfigSpec pins the two together.
+    ccFastPathMaxEdges: Long = graft.stages.ConnectedComponents.DriverFastPathMaxEdges,
     // df-weighted exact similarity (≙ reference term_frequency_adjustments,
     // person_1/link_model_per.py:614-651): weight each shingle by
     // log(nDocs/df) so boilerplate overlap scores below content overlap

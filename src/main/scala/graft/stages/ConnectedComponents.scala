@@ -23,17 +23,25 @@ object ConnectedComponents {
     * union-find on the driver ([[driverUnionFind]]), while the loop costs
     * 4-6 rounds of plan-compile + job scheduling + 2 shuffles each — pure
     * size-independent SERIAL time (the Amdahl term that caps N→4N scaling
-    * efficiency; measured ~10-20 s per run regardless of cores). Driver
-    * memory at the bound, measured in JVM terms not flat bytes: 2M edges
-    * collect as specialized Tuple2 (~56 B each incl. array slot ≈ 112 MB,
-    * freed before output build) and the union-find uses primitive
-    * open-addressing arrays (≤ 4M nodes × 24 B × 2 for load factor
-    * ≈ 190 MB peak) — inside a default 1-2 GB driver with headroom. At
-    * 10^12-doc scale the post-threshold edge set is far above this bound
-    * and the log-round loop is the only option; below it, the loop is all
+    * efficiency; measured ~10-20 s per run regardless of cores). Measured
+    * at the bound's scale (10M-doc probe, 2.48M real dup-graph edges,
+    * 16 pinned cores): union-find 4.1 s vs the distributed window loop's
+    * 23.8 s on half the edges — the driver side wins by ~10× everywhere
+    * the collect fits. Driver memory at the bound, in JVM terms not flat
+    * bytes: 4M edges collect as specialized Tuple2 (~56 B each incl.
+    * array slot ≈ 224 MB, freed before output build) and the union-find
+    * uses primitive open-addressing arrays (≤ 8M nodes: 16M-slot map
+    * ≈ 210 MB + id/parent arrays ≈ 96 MB ≈ 300 MB peak) — ~530 MB
+    * transient, inside a default 2 GB driver with headroom. At 10^12-doc
+    * scale the post-threshold edge set is far above this bound and the
+    * log-round loop is the only option; below it, the loop is all
     * overhead. Adaptive plan choice, same contract both sides (spec-pinned
-    * identical output). Set 0 to force the distributed path. */
-  val DriverFastPathMaxEdges: Long = 2000000L
+    * identical output). Set 0 to force the distributed path. Must equal
+    * `EngineConfig.default.ccFastPathMaxEdges` — two diverging "defaults"
+    * made the telemetry gauge misreport the limit actually honored
+    * (caught by the 10M probe: 2.48M edges collected under a reported
+    * 2M limit). */
+  val DriverFastPathMaxEdges: Long = 4000000L
 
   /** @param edges columns src:long, dst:long (undirected, any orientation)
     * @param maxIterations bound on star ROUNDS (large-star+small-star = 2
@@ -87,6 +95,7 @@ object ConnectedComponents {
 
     val debugTiming = sys.env.contains("GRAFT_CC_DEBUG")
     val matT0 = System.nanoTime()
+    ScaleStats.recordMax(ScaleStats.ccFastPathLimitUsed, fastPathMaxEdges)
     if (fastPathMaxEdges > 0) {
       // ONE action decides the plan AND feeds the fast path: collect up to
       // bound+1 canonical edges. Small graph (the common case at bench

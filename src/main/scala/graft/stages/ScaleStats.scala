@@ -23,6 +23,12 @@ object ScaleStats {
   val windowedFallbacks = new AtomicLong(0L)
   /** Largest edge set CC resolved via the driver union-find fast path. */
   val maxCcDriverEdges = new AtomicLong(0L)
+  /** Largest fast-path bound actually honored by a CC run — the gauge the
+    * probes compare maxCcDriverEdges against. Recorded from the run's
+    * effective parameter, NOT the object default: EngineConfig carries its
+    * own default, and reporting the constant here once misstated the limit
+    * a 10M-doc probe ran under (2.48M edges "under" a reported 2M). */
+  val ccFastPathLimitUsed = new AtomicLong(0L)
   /** Largest edge count CC resolved via the distributed star loop. */
   val maxCcDistributedEdges = new AtomicLong(0L)
   /** Invocation counts per CC path. */
@@ -36,7 +42,8 @@ object ScaleStats {
 
   def reset(): Unit =
     Seq(maxBigKeysCollected, windowedFallbacks, maxCcDriverEdges,
-      maxCcDistributedEdges, ccDriverRuns, ccDistributedRuns).foreach(_.set(0L))
+      maxCcDistributedEdges, ccDriverRuns, ccDistributedRuns,
+      ccFastPathLimitUsed).foreach(_.set(0L))
 
   def snapshot(): Map[String, Long] = Map(
     "pairgen_max_big_keys_collected" -> maxBigKeysCollected.get(),
@@ -44,7 +51,7 @@ object ScaleStats {
     "pairgen_windowed_fallbacks" -> windowedFallbacks.get(),
     "cc_max_driver_edges" -> maxCcDriverEdges.get(),
     "cc_max_distributed_edges" -> maxCcDistributedEdges.get(),
-    "cc_driver_fast_path_limit" -> ConnectedComponents.DriverFastPathMaxEdges,
+    "cc_driver_fast_path_limit" -> ccFastPathLimitUsed.get(),
     "cc_driver_runs" -> ccDriverRuns.get(),
     "cc_distributed_runs" -> ccDistributedRuns.get())
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   *   - PairGen hot-key collect vs BroadcastKeyLimit (2M) — and whether the
   *     windowed fallback ever fired;
-  *   - CC fast-path edge collect vs DriverFastPathMaxEdges (2M) / the
+  *   - CC fast-path edge collect vs DriverFastPathMaxEdges (4M) / the
   *     distributed path's edge count;
   *
   * so BENCH.md can report measured headroom instead of an argument.
@@ -44,7 +44,7 @@ object ScaleProbe {
     GraftFunctions.register(spark)
     // GRAFT_CC_FAST_MAX=0 forces the distributed star loop even below the
     // driver fast-path threshold — the 5M probe found the fast path still
-    // engaged at 1.24M edges (1.6× below its 2M limit), so this is the only
+    // engaged at 1.24M edges (well below its limit), so this is the only
     // way to time the 10^12-scale CC path at the largest local size.
     // GRAFT_SCALE_E2E=0 skips the un-instrumented end-to-end rep (for runs
     // that only need the staged walls + bound telemetry).
