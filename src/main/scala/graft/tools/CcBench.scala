@@ -38,13 +38,18 @@ object CcBench {
     }
 
     val n = if (args.nonEmpty) args(0).toInt else 2000
-    // chains of length 5: a DISTRIBUTED plan (spark.range), not a driver
-    // collection — toDF on a local Seq embeds a LocalRelation whose row
-    // Vector every Catalyst transformExpressions pass re-maps, which
-    // benchmarks the analyzer against the fixture instead of CC
-    val edges = spark.range(n.toLong * 4)
-      .select((($"id" / 4).cast("long") * 10 + $"id" % 4).as("src"),
-              (($"id" / 4).cast("long") * 10 + $"id" % 4 + 1).as("dst"))
+    // chains of length GRAFT_CC_CHAINLEN+1 nodes (default 5): a DISTRIBUTED
+    // plan (spark.range), not a driver collection — toDF on a local Seq
+    // embeds a LocalRelation whose row Vector every Catalyst
+    // transformExpressions pass re-maps, which benchmarks the analyzer
+    // against the fixture instead of CC. Long chains (e.g. CHAINLEN=4096)
+    // force a deep-diameter graph: ~log2(len) double-rounds, the fixture
+    // for per-round wall stability across many convergence actions.
+    val chainLen = sys.env.getOrElse("GRAFT_CC_CHAINLEN", "4").toLong
+    val stride = chainLen * 3 // node-id gap between chains
+    val edges = spark.range(n.toLong * chainLen)
+      .select((($"id" / chainLen).cast("long") * stride + $"id" % chainLen).as("src"),
+              (($"id" / chainLen).cast("long") * stride + $"id" % chainLen + 1).as("dst"))
 
     val fastMax = sys.env.get("GRAFT_CC_FAST_MAX").map(_.toLong)
       .getOrElse(ConnectedComponents.DriverFastPathMaxEdges)
