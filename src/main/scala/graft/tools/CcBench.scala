@@ -47,9 +47,17 @@ object CcBench {
     // for per-round wall stability across many convergence actions.
     val chainLen = sys.env.getOrElse("GRAFT_CC_CHAINLEN", "4").toLong
     val stride = chainLen * 3 // node-id gap between chains
-    val edges = spark.range(n.toLong * chainLen)
-      .select((($"id" / chainLen).cast("long") * stride + $"id" % chainLen).as("src"),
-              (($"id" / chainLen).cast("long") * stride + $"id" % chainLen + 1).as("dst"))
+    // GRAFT_CC_SHAPE=star: ONE hub with n*chainLen spokes — the worst-case
+    // skew fixture for the window star rounds (the hub's whole
+    // neighbourhood lands in one WindowExec partition and must buffer/
+    // spill). Default: n chains of chainLen edges.
+    val edges =
+      if (sys.env.get("GRAFT_CC_SHAPE").contains("star"))
+        spark.range(n.toLong * chainLen).select(
+          org.apache.spark.sql.functions.lit(0L).as("src"), ($"id" + 1).as("dst"))
+      else spark.range(n.toLong * chainLen)
+        .select((($"id" / chainLen).cast("long") * stride + $"id" % chainLen).as("src"),
+                (($"id" / chainLen).cast("long") * stride + $"id" % chainLen + 1).as("dst"))
 
     val fastMax = sys.env.get("GRAFT_CC_FAST_MAX").map(_.toLong)
       .getOrElse(ConnectedComponents.DriverFastPathMaxEdges)
