@@ -42,6 +42,47 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.size == 65 && m.values.forall(_ == 0L))
   }
 
+  test("starRound invariants: canonical orientation, connectivity preserved, star fixpoint") {
+    val rnd = new java.util.SplittableRandom(61)
+    val edges = (1 to 400).map(_ => (rnd.nextLong(250), rnd.nextLong(250)))
+      .filter(e => e._1 != e._2)
+    // canonical input, as the loop feeds starRound
+    val canon = edges.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      .distinct.toDF("src", "dst")
+    def comps(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val ids = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val parent = Array.tabulate(ids.size)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(idx(a)), find(idx(b)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(id => id -> ids(find(idx(id)))).toMap
+    }
+    val before = comps(edges)
+    var cur = canon
+    var star = false
+    var round = 0
+    while (!star && round < 20) {
+      val out = ConnectedComponents.starRound(cur)
+        .as[(Long, Long)].collect().toSeq
+      // 1. canonical orientation always holds
+      assert(out.forall { case (s, d) => s > d }, s"non-canonical edge in round $round")
+      // 2. every round preserves the component structure over the SAME
+      //    node set (star rounds may only re-wire, never split or merge)
+      val after = comps(out)
+      val grouped = before.groupBy(_._2).values.map(_.keys.toSet).toSet
+      assert(after.groupBy(_._2).values.map(_.keys.toSet).toSet == grouped,
+        s"round $round changed the component partition")
+      // 3. fixpoint is the star graph: every src points at its component min
+      star = out.forall { case (s, d) => d == before(s) }
+      cur = out.toDF("src", "dst")
+      round += 1
+    }
+    assert(star, "star rounds did not reach the min-labelled star fixpoint in 20 rounds")
+  }
+
   test("driver fast path and distributed loop produce identical assignments") {
     val rnd = new java.util.SplittableRandom(43)
     val edges = (1 to 300).map(_ => (rnd.nextLong(200), rnd.nextLong(200)))
