@@ -217,8 +217,8 @@ object PairSampling {
     // sample each side at sqrt(maxPairs/n^2) rate so the cross of the two
     // samples ≈ maxPairs rows — never materialising the full n^2 space
     val frac = math.min(1.0, math.sqrt(maxPairs.toDouble) / n)
-    val l = docs.sample(frac, seed).select(docs.columns.map(c => col(c).as(c + "_l")): _*)
-    val r = docs.sample(frac, seed + 1).select(docs.columns.map(c => col(c).as(c + "_r")): _*)
+    val l = docs.sample(frac, seed).select(docs.columns.toIndexedSeq.map(c => col(c).as(c + "_l")): _*)
+    val r = docs.sample(frac, seed + 1).select(docs.columns.toIndexedSeq.map(c => col(c).as(c + "_r")): _*)
     l.crossJoin(r)
       .withColumn("gamma", gammaCol)
       .groupBy("gamma").agg(count(lit(1)).as("pairs"))

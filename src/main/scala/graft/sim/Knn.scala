@@ -209,7 +209,9 @@ object Knn {
     val cents = picked.zipWithIndex.map { case ((_, _, v), i) => (i, v) }
     val centsB = spark.sparkContext.broadcast(cents)
 
-    def cos(a: Array[Float], b: Seq[Float]): Double = {
+    // both sides Array: a Seq param here would implicitly COPY the query
+    // vector once per centroid per row (k*dim floats of garbage per doc)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
