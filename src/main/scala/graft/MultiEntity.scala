@@ -49,8 +49,29 @@ object MultiEntity {
         .withColumn("entity_type", lit(m.entityType))
     }.reduce(_ unionByName _)
     val bases = models.map { case (m, _) => m.entityType -> m.rangeBase }.toMap
-    PersonParity.namespacedIds(lookup, bases)
-      .withColumn("is_master", col("id") === col("cluster_id"))
+    // Namespace-overflow guard, in the PLAN (no extra action): if an
+    // entity resolves to more clusters than the gap to the next range
+    // base, its new_ids would silently collide with the neighbor's
+    // namespace and cross-entity fills would read the wrong clusters.
+    // raise_error fires on the first violating row whenever new_id is
+    // consumed (every real consumer reads it; a bare count() that prunes
+    // the column away does not evaluate the guard).
+    val sortedBases = bases.values.toSeq.sorted
+    val ceilOf: Map[String, Long] = bases.map { case (t, b) =>
+      t -> sortedBases.find(_ > b).getOrElse(Long.MaxValue)
+    }
+    val guarded = models.foldLeft(PersonParity.namespacedIds(lookup, bases)) {
+      case (df, (m, _)) =>
+        val ceil = ceilOf(m.entityType)
+        df.withColumn("new_id",
+          when(col("entity_type") === m.entityType && col("new_id") >= ceil,
+            raise_error(concat(
+              lit(s"entity '${m.entityType}' overflowed its id namespace " +
+                s"[${m.rangeBase}, $ceil): new_id "), col("new_id").cast("string")))
+              .cast("long"))
+            .otherwise(col("new_id")))
+    }
+    guarded.withColumn("is_master", col("id") === col("cluster_id"))
   }
 
   /** Unified master table with cross-entity back-fills (`fv_person`

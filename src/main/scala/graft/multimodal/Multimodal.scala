@@ -72,16 +72,23 @@ object Multimodal {
   def parseJpeg(p: Array[Byte]): MediaMeta = {
     require(isJpeg(p), "not a JPEG payload")
     var i = 2
-    while (i + 3 < p.length) {
+    while (i + 1 < p.length) {
       require((p(i) & 0xff) == 0xff, f"bad JPEG marker alignment at $i")
-      val marker = p(i + 1) & 0xff
+      // spec B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      var m = i + 1
+      while (m < p.length && (p(m) & 0xff) == 0xff) m += 1
+      if (m >= p.length) throw new IllegalArgumentException("no SOF marker found in JPEG payload")
+      val marker = p(m) & 0xff
       if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-        require(i + 8 < p.length, "truncated SOF segment")
-        return MediaMeta(width = be16(p, i + 7), height = be16(p, i + 5), durationMs = 0L)
+        // segment: [m]=marker, [m+1..m+2]=length, [m+3]=precision,
+        // [m+4..m+5]=height, [m+6..m+7]=width
+        require(m + 7 < p.length, "truncated SOF segment")
+        return MediaMeta(width = be16(p, m + 6), height = be16(p, m + 4), durationMs = 0L)
       } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
-        i += 2 // standalone marker, no length field
+        i = m + 1 // standalone marker, no length field
       } else {
-        i += 2 + be16(p, i + 2) // segment length includes its own 2 bytes
+        require(m + 2 < p.length, "truncated JPEG segment header")
+        i = m + 1 + be16(p, m + 1) // segment length includes its own 2 bytes
       }
     }
     throw new IllegalArgumentException("no SOF marker found in JPEG payload")
@@ -96,12 +103,22 @@ object Multimodal {
     else if (isJpeg(payload)) parseJpeg(payload)
     else decodeStub(payload)
 
-  /** Batch decode: one pass per partition, no shuffle (mapInPandas shape). */
+  /** Sentinel emitted by [[decode]] for a payload the parsers reject:
+    * at web scale corrupt/truncated images are routine, and a single bad
+    * row must mark itself undecodable — never fail the whole job. */
+  val Undecodable: MediaMeta = MediaMeta(-1, -1, -1L)
+
+  /** Batch decode: one pass per partition, no shuffle (mapInPandas shape).
+    * Per-row recovery: a payload the header parsers reject (corrupt,
+    * truncated, or misdeclared) yields the [[Undecodable]] sentinel row
+    * instead of a task failure — downstream filters on `width >= 0`. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val m = decodeMeta(r.payload)
+        val m =
+          try decodeMeta(r.payload)
+          catch { case scala.util.control.NonFatal(_) => Undecodable }
         DecodedRow(r.id, r.mediaType, m.width, m.height, m.durationMs, r.payload.length)
       }
     }

@@ -168,13 +168,15 @@ object Knn {
     * hash order for determinism), assignment is a narrow map, and search
     * touches only nProbe cells instead of the full table.
     *
-    * Centroid selection is distributed: only the k chosen vectors ever
-    * reach the driver (orderBy a mixed hash of the id + limit(k) — a
-    * distributed top-k takeOrdered, NOT a full-table collect). k scales
-    * ~sqrt(n) so cells stay ~sqrt(n)-sized and the within-cell compare is
+    * Centroid selection is distributed and ids-first: a takeOrdered over
+    * (mix64 hash, id) pairs — 16 bytes/row, so the driver-side partial
+    * merge stays megabytes at any partition count — then a broadcast-join
+    * fetch of exactly the k chosen vectors (NOT a full-table collect; the
+    * vectors never ride through the top-k partials). k scales ~sqrt(n) so
+    * cells stay ~sqrt(n)-sized and the within-cell compare is
     * O(n^1.5 / nProbe) total, not n^2/k for a fixed k. */
-  /** Defaulted-k centroid picks fetch this many hash-smallest vectors in
-    * the single combined job; k = sqrt(n) exceeds it only past n ≈ 4e9
+  /** Defaulted-k centroid picks fetch this many hash-smallest ids in the
+    * combined count+top-k job; k = sqrt(n) exceeds it only past n ≈ 4e9
     * vectors — far beyond the driver-broadcast IVF regime (production
     * trains centroids offline at that scale) — where a second exact
     * top-k job covers the gap. */
@@ -187,16 +189,21 @@ object Knn {
     // Centroid pick = distributed top-k by a bijective id hash (mix64 has
     // no collisions on Long, so the hash alone is a deterministic total
     // order — a seeded permutation of the ids). takeOrdered visits every
-    // row exactly once in ONE job, so the defaulted-k path counts n with
-    // an accumulator in the SAME job instead of a separate count() action
+    // row exactly once, so the defaulted-k path counts n with an
+    // accumulator in the SAME job instead of a separate count() action
     // (a per-call serial job the bench showed as pure Amdahl tax). The
     // accumulator can over-count only on task retry; n feeds the k ~
     // sqrt(n) heuristic, not correctness, and the pool cut below stays
     // exact regardless.
     val acc = spark.sparkContext.longAccumulator("graft.ivf.n")
+    // Ship ONLY (hash, id) through the top-k job — 16 bytes/row. With the
+    // embedding attached, takeOrdered's driver merge receives up to
+    // poolSize rows PER PARTITION (each partition's bounded queue), i.e.
+    // potentially gigabytes of vectors at production dims/partition counts
+    // (> spark.driver.maxResultSize); ids-only partials stay megabytes.
     val keyed = embeddings
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .rdd.map { case (id, v) => acc.add(1L); (Hashing.mix64(id ^ seed), id, v) }
+      .select(col("vec_id")).as[Long]
+      .rdd.map { id => acc.add(1L); (Hashing.mix64(id ^ seed), id) }
     val poolSize = if (k > 0) k else CentroidPoolMax
     val pool = keyed.takeOrdered(poolSize)(Ordering.by(_._1))
     val kEff =
@@ -205,8 +212,23 @@ object Knn {
     val picked =
       if (kEff <= pool.length || pool.length < poolSize) pool.take(kEff) // exact top-kEff
       else keyed.takeOrdered(kEff)(Ordering.by(_._1)) // n > pool² regime: one more exact job
-    // pool is already in mix64 order — the deterministic centroid indexing
-    val cents = picked.zipWithIndex.map { case ((_, _, v), i) => (i, v) }
+    // Targeted fetch: the kEff-th smallest hash is now known, and mix64 is
+    // bijective, so `hash <= threshold` selects EXACTLY the picked ids —
+    // one short filter+collect job shipping only ~sqrt(n) vectors to the
+    // driver (the set the IVF design broadcasts anyway). The filter reads
+    // only vec_id; embeddings deserialize for surviving rows alone.
+    val pickedIds = picked.map(_._2)
+    val fetched =
+      if (picked.isEmpty) Map.empty[Long, Array[Float]]
+      else {
+        val hashCeil = picked.last._1
+        val inPick = udf((id: Long) => Hashing.mix64(id ^ seed) <= hashCeil)
+        embeddings.select(col("vec_id"), col("embedding"))
+          .filter(inPick(col("vec_id")))
+          .as[(Long, Array[Float])].collect().toMap
+      }
+    // picked is already in mix64 order — the deterministic centroid indexing
+    val cents = pickedIds.zipWithIndex.map { case (id, i) => (i, fetched(id)) }
     val centsB = spark.sparkContext.broadcast(cents)
 
     // both sides Array: a Seq param here would implicitly COPY the query

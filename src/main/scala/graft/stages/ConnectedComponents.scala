@@ -95,7 +95,6 @@ object ConnectedComponents {
 
     val debugTiming = sys.env.contains("GRAFT_CC_DEBUG")
     val matT0 = System.nanoTime()
-    ScaleStats.recordMax(ScaleStats.ccFastPathLimitUsed, fastPathMaxEdges)
     if (fastPathMaxEdges > 0) {
       // ONE action decides the plan AND feeds the fast path: collect up to
       // bound+1 canonical edges. Small graph (the common case at bench
@@ -111,8 +110,10 @@ object ConnectedComponents {
       val arr = e.limit(bound + 1).as[(Long, Long)].collect()
       if (arr.length <= bound) {
         e.unpersist()
-        ScaleStats.ccDriverRuns.incrementAndGet()
-        ScaleStats.recordMax(ScaleStats.maxCcDriverEdges, arr.length.toLong)
+        // edges + the limit they were collected under, recorded as a pair:
+        // mixing the largest limit ever seen with a max observed under a
+        // smaller one would overstate the gauge's headroom
+        ScaleStats.recordCcDriverRun(arr.length.toLong, fastPathMaxEdges)
         val assigned = driverUnionFind(arr)
         if (debugTiming)
           println(f"[cc] driver fast path (${arr.length} edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")

@@ -30,7 +30,9 @@ object Profiling {
       Seq(
         (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
           .as(s"__d_$c"),
-        sum(col(c).isNotNull.cast("long")).as(s"__n_$c"))
+        // sum() over zero rows is NULL — an empty table must profile as
+        // n_nonnull = 0 (the DuckDB count() oracle's answer), not null
+        coalesce(sum(col(c).isNotNull.cast("long")), lit(0L)).as(s"__n_$c"))
     } :+ count(lit(1)).as("__rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
     // melt the single wide row to one row per column

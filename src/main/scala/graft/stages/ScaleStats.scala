@@ -23,11 +23,13 @@ object ScaleStats {
   val windowedFallbacks = new AtomicLong(0L)
   /** Largest edge set CC resolved via the driver union-find fast path. */
   val maxCcDriverEdges = new AtomicLong(0L)
-  /** Largest fast-path bound actually honored by a CC run — the gauge the
-    * probes compare maxCcDriverEdges against. Recorded from the run's
-    * effective parameter, NOT the object default: EngineConfig carries its
-    * own default, and reporting the constant here once misstated the limit
-    * a 10M-doc probe ran under (2.48M edges "under" a reported 2M). */
+  /** The fast-path bound of the RUN that produced [[maxCcDriverEdges]] —
+    * the gauge the probes compare it against. Recorded as a pair with the
+    * max (see [[recordCcDriverRun]]), from the run's effective parameter,
+    * NOT the object default: pairing the largest limit ever seen with a
+    * max observed under a smaller limit (or reporting the constant)
+    * overstates headroom — e.g. 0.9M edges collected under a 1M limit
+    * must not read as "0.9M under 4M". */
   val ccFastPathLimitUsed = new AtomicLong(0L)
   /** Largest edge count CC resolved via the distributed star loop. */
   val maxCcDistributedEdges = new AtomicLong(0L)
@@ -38,6 +40,17 @@ object ScaleStats {
   private[stages] def recordMax(a: AtomicLong, v: Long): Unit = {
     var cur = a.get()
     while (v > cur && !a.compareAndSet(cur, v)) cur = a.get()
+  }
+
+  /** One CC driver fast-path run: keep (max edges, limit of that run) as
+    * an atomic PAIR so the snapshot never mixes observations across runs
+    * with different limits. */
+  private[stages] def recordCcDriverRun(edges: Long, limit: Long): Unit = synchronized {
+    ccDriverRuns.incrementAndGet()
+    if (edges > maxCcDriverEdges.get()) {
+      maxCcDriverEdges.set(edges)
+      ccFastPathLimitUsed.set(limit)
+    }
   }
 
   def reset(): Unit =

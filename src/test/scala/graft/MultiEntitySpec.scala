@@ -94,4 +94,29 @@ class MultiEntitySpec extends SparkSpec {
       v.isDefined && id % 7 != 3 }
     assert(filledCount > 0, "fixture must exercise the fill path")
   }
+
+  test("namespace overflow fails loudly instead of colliding with the neighbor") {
+    import org.apache.spark.sql.DataFrame
+    // identity dedup: every id its own cluster → cluster count == id count
+    val idassign: DataFrame => DataFrame =
+      d => d.select(col("id"), col("id").as("cluster_id"))
+    def mk(nA: Int) = Seq(
+      (MultiEntity.EntityModel("a", 100L, idassign),
+        spark.range(1, nA + 1).toDF("id")),
+      (MultiEntity.EntityModel("b", 103L, idassign),
+        spark.range(11, 13).toDF("id")))
+    // three clusters fit the [100, 103) gap
+    assert(MultiEntity.unifiedLookup(mk(3)).filter(col("entity_type") === "a")
+      .select(max("new_id")).as[Long].head() == 102L)
+    // a fourth would silently take b's new_id 103 — must raise instead the
+    // moment new_id is consumed (the guard lives in the column, so a bare
+    // count() that prunes new_id away cannot see it — every real consumer
+    // of the lookup reads new_id)
+    val ex = intercept[Exception](
+      MultiEntity.unifiedLookup(mk(4)).select(max("new_id")).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(ex).contains("overflowed its id namespace"),
+      s"unexpected failure: ${chain(ex)}")
+  }
 }

@@ -78,6 +78,25 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseJpeg(tinyJpeg(7, 5).take(20)))
   }
 
+  test("JPEG fill bytes (spec B.1.1.2) parse; corrupt rows decode to the sentinel") {
+    // 0xFF fill byte between SOI and the SOF0 marker is spec-legal
+    val bb = java.nio.ByteBuffer.allocate(2 + 2 + 13)
+    bb.put(0xff.toByte).put(0xd8.toByte)              // SOI
+    bb.put(0xff.toByte).put(0xff.toByte)              // fill byte + marker prefix
+    bb.put(0xc0.toByte).putShort(11)                  // SOF0
+    bb.put(8.toByte).putShort(5).putShort(7)          // precision, h=5, w=7
+    bb.put(1.toByte).put(0x11.toByte).put(0.toByte)
+    assert(parseJpeg(bb.array()) == MediaMeta(7, 5, 0L))
+    // a truncated image payload must yield the Undecodable sentinel row,
+    // not a task failure that kills the whole decode job
+    val rows = Seq(
+      MediaRow(1L, "image", tinyJpeg(9, 4)),
+      MediaRow(2L, "image", tinyJpeg(9, 4).take(20))).toDS()
+    val out = decode(rows).collect().map(r => r.id -> ((r.width, r.height))).toMap
+    assert(out(1L) == ((9, 4)))
+    assert(out(2L) == ((Undecodable.width, Undecodable.height)))
+  }
+
   test("decode end-to-end over mixed real-image + stub-video payloads") {
     val mixed = Seq(
       MediaRow(1L, "image", tinyPng(64, 32)),

@@ -145,18 +145,21 @@ class KnnSpec extends SparkSpec {
     assert(a.length == 400)
   }
 
-  test("ivfTop1 defaulted k: ONE eager job (count folded into the pick), explicit-k parity") {
+  test("ivfTop1 defaulted k: two eager jobs (ids top-k + vector fetch), explicit-k parity") {
     val emb = clustered.select("vec_id", "embedding")
     emb.count() // materialize the suite cache outside the measured window
-    // the eager part of ivfTop1 is the centroid pick; defaulted k must not
-    // add a separate count() job in front of it
+    // the eager part of ivfTop1 is the centroid pick: job 1 = ids-only
+    // takeOrdered (n counted by accumulator in the SAME job — no separate
+    // count), job 2 = the targeted fetch of the kEff chosen vectors (the
+    // scale-safety split: vectors must not ride the top-k partial merge).
+    // A third job would mean the separate count() action crept back in.
     spark.sparkContext.setJobGroup("graft-ivf-pick", "centroid pick job audit")
     val lazyResult = Knn.ivfTop1(spark, emb) // no action on the result yet
     spark.sparkContext.clearJobGroup()
     Thread.sleep(2000) // status store is fed async from the listener bus
     val picked = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-ivf-pick")
-    assert(picked.length == 1,
-      s"defaulted-k centroid pick ran ${picked.length} jobs (want 1 — no separate count)")
+    assert(picked.length == 2,
+      s"defaulted-k centroid pick ran ${picked.length} jobs (want 2 — no separate count)")
     // parity: the defaulted path must equal the explicit k = max(16, sqrt n)
     val kExp = math.max(16, math.sqrt(400.0).toInt)
     val explicit = Knn.ivfTop1(spark, emb, k = kExp).orderBy("vec_id").as[(Long, Long)].collect()

@@ -14,6 +14,13 @@ class ProfilingSpec extends SparkSpec {
     assert(got.sameElements(Array(("id", 4L, 4L, 4L), ("v", 2L, 3L, 4L))))
   }
 
+  test("empty table profiles as zeros, not nulls (sum-over-zero-rows)") {
+    val empty = Seq.empty[(Long, Option[String])].toDF("id", "v")
+    val got = Profiling.profileColumns(empty, Seq("id", "v"), approx = false)
+      .orderBy("col_name").as[(String, Long, Long, Long)].collect()
+    assert(got.sameElements(Array(("id", 0L, 0L, 0L), ("v", 0L, 0L, 0L))))
+  }
+
   test("approx mode: HLL estimate within tolerance, single pass without expand") {
     val df = spark.range(5000).selectExpr("id", "CAST(id % 700 AS STRING) AS v",
       "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 40 END AS w")

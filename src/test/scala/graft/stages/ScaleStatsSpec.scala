@@ -29,4 +29,19 @@ class ScaleStatsSpec extends SparkSpec {
     assert(ScaleStats.maxCcDistributedEdges.get() === 3L)
     graft.Pipeline.clearIntermediateCaches(spark)
   }
+
+  test("fast-path limit gauge pairs with the run that produced the edge max") {
+    ScaleStats.reset()
+    val big = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    ConnectedComponents.run(spark, big, fastPathMaxEdges = 10L).count()
+    assert(ScaleStats.maxCcDriverEdges.get() === 2L)
+    assert(ScaleStats.snapshot()("cc_driver_fast_path_limit") === 10L)
+    // a later run under a BIGGER limit with FEWER edges must not re-label
+    // the recorded max as having run under the bigger limit
+    val small = Seq((5L, 6L)).toDF("src", "dst")
+    ConnectedComponents.run(spark, small, fastPathMaxEdges = 4000000L).count()
+    assert(ScaleStats.maxCcDriverEdges.get() === 2L)
+    assert(ScaleStats.snapshot()("cc_driver_fast_path_limit") === 10L)
+    graft.Pipeline.clearIntermediateCaches(spark)
+  }
 }
