@@ -38,8 +38,10 @@ object PersonParity {
   /** W4/A7 golden-record fill: per column, latest non-null by last_updated
     * (`person_1/dedup_per.sql:226-330`). */
   def goldenFill(rows: DataFrame, fillCols: Seq[String]): DataFrame = {
+    // (recency, value) ordering: recency ties would otherwise leave the
+    // winner to merge order — nondeterministic across partitionings
     val aggs = fillCols.map(c =>
-      max_by(col(c), when(col(c).isNotNull, col("last_updated"))).as(c))
+      max_by(col(c), when(col(c).isNotNull, struct(col("last_updated"), col(c)))).as(c))
     rows.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -54,7 +56,10 @@ object PersonParity {
       dob.isNotNull && (
         yearDiff(created, dob) >= 100 ||
         dob >= add_months(created, -12))
-    val w = Window.partitionBy("cluster_id").orderBy(col("last_updated").desc)
+    // dob breaks last_updated ties: only the dob is extracted, so ordering
+    // by it makes the repair deterministic under any partitioning
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("last_updated").desc, col("date_of_birth").asc)
     val candidates = members
       .filter(col("date_of_birth").isNotNull &&
         !invalid(col("date_of_birth"), col("date_created")))

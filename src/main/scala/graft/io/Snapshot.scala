@@ -34,14 +34,25 @@ final class SnapshotStore(val root: String) {
     try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
   }
 
-  /** Latest committed snapshot id (monotone counter across all stages). */
+  /** Highest id this instance has ISSUED (not yet necessarily visible as
+    * a manifest): a commit writes its parquet before its manifest, so a
+    * concurrent nextId() re-scan alone would re-issue the in-flight id.
+    * Cross-INSTANCE commits to one root are a single-writer contract (the
+    * manifest swap is atomic, the counter is advisory — the same stance
+    * as an Iceberg committer without a catalog lock). */
+  private val lastIssued = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Next snapshot id (monotone counter across all stages). */
   private def nextId(): Long = synchronized {
     val ids = listDir(manifestDir)
       .flatMap { p =>
         val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         "\"id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
       }
-    if (ids.isEmpty) 1L else ids.max + 1
+    val scanned = if (ids.isEmpty) 1L else ids.max + 1
+    val id = math.max(scanned, lastIssued.get() + 1)
+    lastIssued.set(id)
+    id
   }
 
   /** Commit a stage result: write immutable parquet, then atomically move
@@ -49,6 +60,12 @@ final class SnapshotStore(val root: String) {
     * recomputes on restart) or a complete one (stage is skipped) — never a
     * half-visible snapshot. */
   def commit(stage: String, df: DataFrame, configFingerprint: String): DataFrame = {
+    // names are embedded raw in file paths, JSON, and (for the
+    // fingerprint) a lookup regex — constrain them instead of escaping
+    // in three syntaxes (Pipeline passes hex; this makes it a contract)
+    require(stage.matches("[A-Za-z0-9._-]+"), s"unsupported stage name: $stage")
+    require(configFingerprint.matches("[A-Za-z0-9._-]*"),
+      s"unsupported config fingerprint: $configFingerprint")
     val spark = df.sparkSession
     val id = nextId()
     val dest = dataDir.resolve(s"$stage-$id")
@@ -80,7 +97,11 @@ final class SnapshotStore(val root: String) {
     * model-JSON semantics). */
   def latest(spark: SparkSession, stage: String, configFingerprint: String): Option[DataFrame] =
     readManifest(stage).flatMap { m =>
-      val cfgOk = s""""config":"$configFingerprint"""".r.findFirstIn(m).isDefined
+      // quote the fingerprint: '.' or '+' in a caller-supplied value must
+      // match literally, not as regex syntax (a '.' would accept a stale
+      // snapshot committed under a different config)
+      val quoted = java.util.regex.Pattern.quote(s""""config":"$configFingerprint"""")
+      val cfgOk = quoted.r.findFirstIn(m).isDefined
       val path = "\"path\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1))
       if (cfgOk) path.filter(p => Files.exists(Paths.get(p)))
         .map(p => spark.read.parquet(p))

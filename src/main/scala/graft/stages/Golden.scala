@@ -36,8 +36,12 @@ object Golden {
     * one pass with max_by over (value, recency) — not one window per column. */
   def goldenFill(clustered: DataFrame, orderCol: String, fillCols: Seq[String]): DataFrame = {
     val aggs = fillCols.map { c =>
-      // max_by ignores rows where the value is null: first non-null by recency
-      max_by(col(c), when(col(c).isNotNull, col(orderCol))).as(c)
+      // ordering key is (recency, value): recency alone is not a total
+      // order, and on ties max_by keeps whichever row the merge visits
+      // first — nondeterministic across partitionings, violating the
+      // byte-identical-rerun invariant. NULL values order first in the
+      // struct, so a non-null value still wins its recency tie.
+      max_by(col(c), when(col(c).isNotNull, struct(col(orderCol), col(c)))).as(c)
     }
     clustered.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
   }

@@ -96,8 +96,13 @@ object Signatures {
     docs
       .withColumn("minhash", GraftFunctions.minhashSig(col(textCol), cfg))
       .withColumn("simhash", GraftFunctions.simhash64(col(textCol)))
+      // real shingle count (Model.DocSig contract), not a constant: the
+      // extra shingle pass is column-pruned away in the pipeline hot path
+      // (which selects only id/minhash/simhash) and only paid by consumers
+      // that actually read the count
       .withColumn("n_shingles",
-        when(col("minhash").isNull, lit(0)).otherwise(lit(cfg.numPerms)))
+        when(col("minhash").isNull, lit(0))
+          .otherwise(size(GraftFunctions.shingleHashes(col(textCol), cfg.shingleK))))
 }
 
 /** Skew-aware candidate-pair generation from (key, id) bucket rows.
@@ -488,9 +493,18 @@ object Scoring {
           Seq("id_l", "id_r"), "left")
       else withExact.withColumn("jaccard_tf", lit(null).cast("double"))
     val gate = if (cfg.tfWeighting) col("jaccard_tf") else col("jaccard_exact")
+    val demoted = col("level") === 2 && gate < cfg.jaccardThreshold
     val verified = gated
+      // reason must follow the level on demotion — a stale
+      // "minhash-band=N" on a SimHash-level (or dropped) edge
+      // misattributes provenance in lineage and debugging output
+      .withColumn("reason",
+        when(demoted,
+          when(col("hamming") <= cfg.hammingThreshold, lit("simhash-hamming"))
+            .otherwise(lit("below-threshold")))
+          .otherwise(col("reason")))
       .withColumn("level",
-        when(col("level") === 2 && gate < cfg.jaccardThreshold,
+        when(demoted,
           when(col("hamming") <= cfg.hammingThreshold, 1).otherwise(0))
           .otherwise(col("level")))
     verified.unionByName(

@@ -23,9 +23,14 @@ object StreamingDedup {
     * part of the dedup key), growing without bound on an infinite crawl. */
   def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
     pages
+      // TWO independent 64-bit hashes = a 128-bit key, the same standard
+      // the batch path holds (ExactDedup.splitByHash): one xxhash64 alone
+      // expects ~0.5 collisions per 2^32 docs in the horizon at crawl
+      // scale, and a collision here silently DROPS a distinct document
       .withColumn("content_hash", xxhash64(col("text")))
+      .withColumn("content_hash2", xxhash64(lit("graft-h2"), col("text")))
       .withWatermark("warc_ts", watermark)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash", "content_hash2")
 
   /** Tumbling-window ingest metrics (docs + distinct-ish content per window
     * per lang) — the streaming analog of the A8/A9 reporting aggregates. */
@@ -92,11 +97,28 @@ object StreamingDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val band = (key >>> 56).toInt
+            // members is kept sorted newest-first by (event time, id)
             var members = state.getOption.map(_.members).getOrElse(Nil)
-            // event-time order within the batch for deterministic eviction
-            val batch = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            // Bound the per-trigger buffer: a boilerplate band bucket can
+            // deliver millions of rows in ONE micro-batch to this single
+            // group, and buffering them all (rows.toSeq) OOMs the task.
+            // Keep only the newest batchCap rows by (event time, id) via a
+            // bounded heap — deterministic regardless of iterator order —
+            // mirroring the batch path's hot-bucket policy (PairGen chain
+            // pairing): an over-hot bucket is boilerplate, and overflow
+            // rows still meet their true near-dups via their other bands.
+            val batchCap = bucketCap * 16
+            val oldestFirst =
+              Ordering.by((r: (Long, Long, Long)) => (r._2, r._1)).reverse
+            val heap = scala.collection.mutable.PriorityQueue.empty(oldestFirst)
+            rows.foreach { case (_, id, ts, sh) =>
+              heap.enqueue((id, ts.getTime, sh))
+              if (heap.size > batchCap) heap.dequeue() // drop the oldest
+            }
+            // dequeueAll emits oldest → newest: event-time processing order
+            val batch = heap.dequeueAll
             val out = Seq.newBuilder[NearDupHit]
-            batch.foreach { case (_, id, ts, sh) =>
+            batch.foreach { case (id, tsMs, sh) =>
               members.foreach { m =>
                 if (m.id != id) {
                   val d = java.lang.Long.bitCount(m.simhash ^ sh)
@@ -104,13 +126,18 @@ object StreamingDedup {
                     out += NearDupHit(math.min(m.id, id), math.max(m.id, id), d, band)
                 }
               }
-              members = (BucketMember(id, sh, ts.getTime) :: members).take(bucketCap)
+              // sorted insert + evict the OLDEST past cap: arrival-order
+              // eviction could push out the newest-event-time member on a
+              // late burst, silently shrinking the horizon anchored below
+              val (newer, older) = members.span(m =>
+                m.tsMs > tsMs || (m.tsMs == tsMs && m.id > id))
+              members = (newer ::: BucketMember(id, sh, tsMs) :: older).take(bucketCap)
             }
             state.update(BucketState(members))
-            // horizon anchors to the NEWEST member overall — members.head
-            // is only the newest of THIS batch, and a late-but-valid batch
-            // would otherwise shrink the horizon and evict live state
-            state.setTimeoutTimestamp(members.iterator.map(_.tsMs).max, watermark)
+            // horizon anchors to the NEWEST member overall (head of the
+            // sorted list) — a late-but-valid batch must not shrink the
+            // horizon and evict live state
+            state.setTimeoutTimestamp(members.head.tsMs, watermark)
             out.result().iterator
           }
       }.toDF()

@@ -22,6 +22,19 @@ class SnapshotSpec extends SparkSpec {
     assert(store.latest(spark, "nope", "cfgA").isEmpty)
   }
 
+  test("config fingerprint matches literally — '.' must not wildcard") {
+    val store = new SnapshotStore(tmpDir())
+    val df = Seq((1L, "a")).toDF("id", "v")
+    store.commit("s", df, "cfgxa")
+    // '.' in a looked-up fingerprint is a regex metachar: unquoted it
+    // would match 'cfgxa' and silently resume from a different config
+    assert(store.latest(spark, "s", "cfg.a").isEmpty)
+    assert(store.latest(spark, "s", "cfgxa").isDefined)
+    // names that cannot be embedded in path/JSON/regex are rejected up front
+    intercept[IllegalArgumentException](store.commit("bad/stage", df, "c"))
+    intercept[IllegalArgumentException](store.commit("s", df, "c\"x"))
+  }
+
   test("stage() computes once, then serves the snapshot") {
     val root = tmpDir()
     val store = new SnapshotStore(root)

@@ -30,6 +30,18 @@ class GoldenSpec extends SparkSpec {
     assert(g == ((10L, "b", "x")))
   }
 
+  test("goldenFill: recency ties resolve by value — deterministic under reshuffle") {
+    val df = Seq(
+      (10L, 5L, Some("aa")), (10L, 5L, Some("zz")), (10L, 1L, Some("mm")))
+      .toDF("cluster_id", "ord", "c1")
+    // the tie at ord=5 must pick the max value, regardless of partitioning
+    (1 to 8).foreach { p =>
+      val g = Golden.goldenFill(df.repartition(p), "ord", Seq("c1"))
+        .as[(Long, String)].collect().head
+      assert(g == ((10L, "zz")), s"partitioning $p changed the tie winner: $g")
+    }
+  }
+
   test("denseIds: distributed two-phase equals single-window dense_rank") {
     val masters = (1L to 500L).filter(_ % 3 == 0).map(i => i * 7).toDF("cluster_id")
     val dist = Golden.denseIds(spark, masters, "cluster_id", 1000000L, partitions = 4)

@@ -184,6 +184,22 @@ class StagesSpec extends SparkSpec {
     assert(main2.forall(_._3 == 40L) && main2.size == 69)
   }
 
+  test("withSignatures: n_shingles is the document's real shingle count") {
+    val cfg = EngineConfig.default
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "tiny")).toDF("id", "text")
+    val got = Signatures.withSignatures(docs, cfg)
+      .select("id", "n_shingles").as[(Long, Int)].collect().toMap
+    // Model.DocSig contract: the field is the COUNT (docSignature parity),
+    // not the permutation constant; 0 still marks unlinkable docs
+    val real = docs.filter(col("id") === 1L)
+      .select(size(graft.expr.GraftFunctions.shingleHashes(col("text"), cfg.shingleK)))
+      .as[Int].head()
+    assert(real > 0 && real != cfg.numPerms)
+    assert(got(1L) == real)
+    assert(got(2L) == 0)
+  }
+
   test("Blocking: identical docs collide in all bands, candidates dedup across bands") {
     val cfg = EngineConfig.default
     val text = (1 to 200).map(i => s"tok$i").mkString(" ")
@@ -221,10 +237,14 @@ class StagesSpec extends SparkSpec {
     val v = Scoring.exactVerify(scored, docs, cfg).collect().head
     assert(v.getAs[Int]("level") == 0, s"expected demotion, got $v")
     assert(v.getAs[Double]("jaccard_exact") < cfg.jaccardThreshold)
-    // and a genuinely identical pair stays level 2
+    // provenance follows the demotion: the stale band reason must not
+    // survive on a level-0 row
+    assert(v.getAs[String]("reason") == "below-threshold", s"stale reason on $v")
+    // and a genuinely identical pair stays level 2 with its band reason
     val docs2 = Seq((1L, t1), (2L, t1)).toDF("id", "text")
     val v2 = Scoring.exactVerify(scored, docs2, cfg).collect().head
     assert(v2.getAs[Int]("level") == 2 && v2.getAs[Double]("jaccard_exact") == 1.0)
+    assert(v2.getAs[String]("reason") == "minhash-band=0")
   }
 
   test("Substring: slice+boilerplate detected; boilerplate-only pair rejected") {
