@@ -43,6 +43,11 @@ object MultiEntity {
     require(models.nonEmpty, "at least one entity model required")
     require(models.map(_._1.entityType).distinct.size == models.size,
       "entity types must be unique")
+    // Equal bases would fully collide two entities' namespaces AND blind
+    // the overflow guard below (no base sorts strictly above a duplicate,
+    // so both ceilings become Long.MaxValue and raise_error never fires).
+    require(models.map(_._1.rangeBase).distinct.size == models.size,
+      "range bases must be unique — duplicate bases collide namespaces")
     val lookup = models.map { case (m, docs) =>
       m.dedup(docs)
         .select(col("id"), col("cluster_id"))
@@ -88,7 +93,12 @@ object MultiEntity {
     val masters = members.filter(col("is_master"))
     val donors = members.filter(!col("is_master"))
     fillCols.foldLeft(masters) { (m, c) =>
-      PersonParity.crossEntityFill(m, donors, c, orderKey, clusterCol = "new_id")
+      // excludeSelf = false: the !is_master split above already removed
+      // masters, and new_id is a NAMESPACED id — the default `id =!= new_id`
+      // donor filter would compare a raw doc id against a namespaced one and
+      // drop a legitimate donor on a purely coincidental numeric collision
+      PersonParity.crossEntityFill(m, donors, c, orderKey,
+        clusterCol = "new_id", excludeSelf = false)
     }
   }
 }

@@ -93,11 +93,19 @@ object PersonParity {
     * @param masters  unified rows carrying `clusterCol` + `fillCol`
     * @param members  all dedup-lookup member rows: `clusterCol`, `id`,
     *                 `fillCol` (+ whatever `orderKey` reads)
-    * @param orderKey member ranking expression, highest wins */
+    * @param orderKey member ranking expression, highest wins
+    * @param excludeSelf drop members whose `id` equals `clusterCol` (the
+    *        master-by-min-id convention). Pass false when `members` is
+    *        already master-free AND `clusterCol` is a NAMESPACED id
+    *        (new_id): there `id =!= new_id` compares a raw doc id against
+    *        a namespaced id, and a purely coincidental numeric collision
+    *        would silently drop a legitimate donor. */
   def crossEntityFill(masters: DataFrame, members: DataFrame, fillCol: String,
-                      orderKey: Column, clusterCol: String = "cluster_id"): DataFrame = {
+                      orderKey: Column, clusterCol: String = "cluster_id",
+                      excludeSelf: Boolean = true): DataFrame = {
     val donors = members
-      .filter(col(fillCol).isNotNull && col("id") =!= col(clusterCol))
+      .filter(col(fillCol).isNotNull &&
+        (if (excludeSelf) col("id") =!= col(clusterCol) else lit(true)))
       .groupBy(clusterCol)
       .agg(max(struct(orderKey.as("o"), col(fillCol).as("v"))).as("__best"))
       .select(col(clusterCol), col("__best.v").as("__fill"))

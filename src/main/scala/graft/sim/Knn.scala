@@ -227,8 +227,18 @@ object Knn {
           .filter(inPick(col("vec_id")))
           .as[(Long, Array[Float])].collect().toMap
       }
-    // picked is already in mix64 order — the deterministic centroid indexing
-    val cents = pickedIds.zipWithIndex.map { case (id, i) => (i, fetched(id)) }
+    // picked is already in mix64 order — the deterministic centroid indexing.
+    // The fetch is a SECOND job over `embeddings`; a non-deterministic input
+    // (unpersisted sample/limit, re-evaluated stream batch) can drop a
+    // picked id between the jobs — fail with the cause, not a bare
+    // NoSuchElementException (vectors silently mixed across snapshots would
+    // be worse; determinism of the input is this API's contract).
+    val cents = pickedIds.zipWithIndex.map { case (id, i) =>
+      (i, fetched.getOrElse(id, throw new IllegalStateException(
+        s"centroid id $id vanished between the top-k and fetch jobs — " +
+          "embeddings must be deterministic across jobs (persist derived/" +
+          "sampled inputs before calling ivfTop1)")))
+    }
     val centsB = spark.sparkContext.broadcast(cents)
 
     // both sides Array: a Seq param here would implicitly COPY the query

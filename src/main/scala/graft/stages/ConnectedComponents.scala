@@ -32,7 +32,11 @@ object ConnectedComponents {
     * array slot ≈ 224 MB, freed before output build) and the union-find
     * uses primitive open-addressing arrays (≤ 8M nodes: 16M-slot map
     * ≈ 210 MB + id/parent arrays ≈ 96 MB ≈ 300 MB peak) — ~530 MB
-    * transient, inside a default 2 GB driver with headroom. At 10^12-doc
+    * transient. That does NOT fit Spark's 1 GiB spark.driver.memory
+    * DEFAULT, so [[effectiveFastPathBound]] additionally caps the bound
+    * by the running driver's max heap (~200 B/edge in a quarter of it);
+    * this constant is the gate only on drivers provisioned ≥ ~4 GiB. At
+    * 10^12-doc
     * scale the post-threshold edge set is far above this bound and the
     * log-round loop is the only option; below it, the loop is all
     * overhead. Adaptive plan choice, same contract both sides (spec-pinned
@@ -42,6 +46,16 @@ object ConnectedComponents {
     * (caught by the 10M probe: 2.48M edges collected under a reported
     * 2M limit). */
   val DriverFastPathMaxEdges: Long = 4000000L
+
+  /** The fast-path edge bound this JVM actually honors: the configured
+    * bound capped by a hard 100M ceiling and by driver heap (~200 B/edge
+    * transient, budgeted at a quarter of max heap so normal driver state
+    * keeps the rest). 1 GiB heap (Spark's driver default) ⇒ ~1.3M edges;
+    * 8 GiB ⇒ ~10M (the probe regime); huge heaps still stop at 100M. */
+  private[graft] def effectiveFastPathBound(configured: Long): Int = {
+    val heapCap = Runtime.getRuntime.maxMemory() / 4L / 200L
+    math.min(math.min(configured, 100000000L), heapCap).toInt
+  }
 
   /** @param edges columns src:long, dst:long (undirected, any orientation)
     * @param maxIterations bound on star ROUNDS (large-star+small-star = 2
@@ -103,17 +117,24 @@ object ConnectedComponents {
       // on the driver, zero distributed rounds. Big graph: the limit
       // short-circuits early and the loop below pays one count to finish
       // cache materialization.
-      // 100M-edge ceiling regardless of config: beyond it the union-find
-      // arrays outgrow any sane driver heap, so the distributed loop is the
-      // only correct plan even if the caller sets a larger fast-path bound
-      val bound = math.min(fastPathMaxEdges, 100000000L).toInt
+      // Two ceilings regardless of config: a hard 100M (beyond it the
+      // union-find arrays outgrow any sane driver heap) and a HEAP-DERIVED
+      // cap — the fast path transiently holds ~200 B/edge (collected Tuple2
+      // array + open-addressing maps + output tuples), so it engages only
+      // when that fits in a quarter of this driver's max heap. Spark's
+      // spark.driver.memory DEFAULT is 1g: without this gate, a 3.5M-edge
+      // graph that the old 2M bound routed to the distributed loop would
+      // instead OOM an unconfigured driver.
+      val bound = effectiveFastPathBound(fastPathMaxEdges)
       val arr = e.limit(bound + 1).as[(Long, Long)].collect()
       if (arr.length <= bound) {
         e.unpersist()
         // edges + the limit they were collected under, recorded as a pair:
         // mixing the largest limit ever seen with a max observed under a
-        // smaller one would overstate the gauge's headroom
-        ScaleStats.recordCcDriverRun(arr.length.toLong, fastPathMaxEdges)
+        // smaller one would overstate the gauge's headroom. Record the
+        // EFFECTIVE bound (post heap/100M caps), not the caller's config —
+        // the gauge must pair the max with the gate it actually ran under.
+        ScaleStats.recordCcDriverRun(arr.length.toLong, bound.toLong)
         val assigned = driverUnionFind(arr)
         if (debugTiming)
           println(f"[cc] driver fast path (${arr.length} edges): ${(System.nanoTime() - matT0) / 1e9}%.2f s")

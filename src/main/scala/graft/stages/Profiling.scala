@@ -24,6 +24,8 @@ object Profiling {
   def profileColumns(df: DataFrame, cols: Seq[String],
                      approx: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns to profile: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     cols.foreach(c => require(!c.contains("'") && !c.contains("`"),
       s"unsupported column name: $c"))
     val aggs = cols.flatMap { c =>

@@ -58,13 +58,21 @@ object ScaleStats {
       maxCcDistributedEdges, ccDriverRuns, ccDistributedRuns,
       ccFastPathLimitUsed).foreach(_.set(0L))
 
-  def snapshot(): Map[String, Long] = Map(
-    "pairgen_max_big_keys_collected" -> maxBigKeysCollected.get(),
-    "pairgen_broadcast_key_limit" -> PairGen.BroadcastKeyLimit,
-    "pairgen_windowed_fallbacks" -> windowedFallbacks.get(),
-    "cc_max_driver_edges" -> maxCcDriverEdges.get(),
-    "cc_max_distributed_edges" -> maxCcDistributedEdges.get(),
-    "cc_driver_fast_path_limit" -> ccFastPathLimitUsed.get(),
-    "cc_driver_runs" -> ccDriverRuns.get(),
-    "cc_distributed_runs" -> ccDistributedRuns.get())
+  def snapshot(): Map[String, Long] = {
+    // Read the (max edges, limit) pair under the SAME lock the writer
+    // holds — a concurrent snapshot between the two writer sets would
+    // otherwise pair the new max with the previous run's limit.
+    val (ccEdges, ccLimit) = synchronized {
+      (maxCcDriverEdges.get(), ccFastPathLimitUsed.get())
+    }
+    Map(
+      "pairgen_max_big_keys_collected" -> maxBigKeysCollected.get(),
+      "pairgen_broadcast_key_limit" -> PairGen.BroadcastKeyLimit,
+      "pairgen_windowed_fallbacks" -> windowedFallbacks.get(),
+      "cc_max_driver_edges" -> ccEdges,
+      "cc_max_distributed_edges" -> maxCcDistributedEdges.get(),
+      "cc_driver_fast_path_limit" -> ccLimit,
+      "cc_driver_runs" -> ccDriverRuns.get(),
+      "cc_distributed_runs" -> ccDistributedRuns.get())
+  }
 }

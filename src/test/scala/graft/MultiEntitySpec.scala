@@ -95,6 +95,36 @@ class MultiEntitySpec extends SparkSpec {
     assert(filledCount > 0, "fixture must exercise the fill path")
   }
 
+  test("a donor whose RAW id numerically equals a namespaced new_id still donates") {
+    // regression: crossEntityFill's default donor filter (id =!= clusterCol)
+    // compares a raw doc id against the NAMESPACED new_id when keying by
+    // new_id — a purely coincidental numeric collision silently dropped the
+    // only donor. unifiedMasters must pass excludeSelf = false (masters are
+    // already removed by the is_master split).
+    val lk = Seq(
+      // one cluster: master id=5, donor id=1000042 == the cluster's new_id
+      ("person", 5L, 5L, 1000042L, true),
+      ("person", 1000042L, 5L, 1000042L, false)
+    ).toDF("entity_type", "id", "cluster_id", "new_id", "is_master")
+    val payload = Seq((5L, None: Option[Long]), (1000042L, Some(77L)))
+      .toDF("id", "cni")
+    val masters = MultiEntity.unifiedMasters(lk, payload, Seq("cni"), col("id"))
+    val got = masters.select($"id", $"cni".cast("long")).as[(Long, Option[Long])].collect()
+    assert(got.sameElements(Array((5L, Some(77L)))),
+      s"coincidental id==new_id donor must still back-fill (got ${got.mkString(",")})")
+  }
+
+  test("duplicate range bases are rejected up front (guard cannot see them)") {
+    import org.apache.spark.sql.DataFrame
+    val idassign: DataFrame => DataFrame =
+      d => d.select(col("id"), col("id").as("cluster_id"))
+    val dup = Seq(
+      (MultiEntity.EntityModel("a", 100L, idassign), spark.range(1, 3).toDF("id")),
+      (MultiEntity.EntityModel("b", 100L, idassign), spark.range(11, 13).toDF("id")))
+    val ex = intercept[IllegalArgumentException](MultiEntity.unifiedLookup(dup))
+    assert(ex.getMessage.contains("range bases must be unique"))
+  }
+
   test("namespace overflow fails loudly instead of colliding with the neighbor") {
     import org.apache.spark.sql.DataFrame
     // identity dedup: every id its own cluster → cluster count == id count

@@ -156,8 +156,15 @@ class KnnSpec extends SparkSpec {
     spark.sparkContext.setJobGroup("graft-ivf-pick", "centroid pick job audit")
     val lazyResult = Knn.ivfTop1(spark, emb) // no action on the result yet
     spark.sparkContext.clearJobGroup()
-    Thread.sleep(2000) // status store is fed async from the listener bus
-    val picked = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-ivf-pick")
+    // the status store is fed async from the listener bus — poll with a
+    // deadline instead of a fixed sleep (flaky on loaded machines), then
+    // require a stable read so a late third job can't slip past
+    def groupJobs() = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-ivf-pick")
+    val deadline = System.currentTimeMillis + 30000
+    while (groupJobs().length < 2 && System.currentTimeMillis < deadline) Thread.sleep(50)
+    Thread.sleep(500) // settle window: all jobs already SUBMITTED (ivfTop1
+    // returned), this only lets the bus drain any trailing event
+    val picked = groupJobs()
     assert(picked.length == 2,
       s"defaulted-k centroid pick ran ${picked.length} jobs (want 2 — no separate count)")
     // parity: the defaulted path must equal the explicit k = max(16, sqrt n)

@@ -164,6 +164,17 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"stranded cached RDDs after clear: ${spark.sparkContext.getPersistentRDDs.size - baseline}")
   }
 
+  test("effective fast-path bound honors config, heap, and the 100M ceiling") {
+    val heapCap = Runtime.getRuntime.maxMemory() / 4L / 200L
+    // configured below every cap → honored exactly
+    assert(ConnectedComponents.effectiveFastPathBound(1000L) == 1000L)
+    // huge config → capped by min(heap budget, 100M), never the raw value
+    val big = ConnectedComponents.effectiveFastPathBound(Long.MaxValue)
+    assert(big == math.min(heapCap, 100000000L).toInt)
+    // zero stays zero (force-distributed contract unchanged)
+    assert(ConnectedComponents.effectiveFastPathBound(0L) == 0)
+  }
+
   test("assign: singletons keep their own id") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("src", "dst")

@@ -14,6 +14,13 @@ class ProfilingSpec extends SparkSpec {
     assert(got.sameElements(Array(("id", 4L, 4L, 4L), ("v", 2L, 3L, 4L))))
   }
 
+  test("duplicate columns are rejected up front, not as a Catalyst ambiguity") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException](
+      Profiling.profileColumns(df, Seq("v", "v"), approx = false))
+    assert(ex.getMessage.contains("duplicate columns"))
+  }
+
   test("empty table profiles as zeros, not nulls (sum-over-zero-rows)") {
     val empty = Seq.empty[(Long, Option[String])].toDF("id", "v")
     val got = Profiling.profileColumns(empty, Seq("id", "v"), approx = false)
