@@ -39,7 +39,9 @@ object PersonParity {
     * (`person_1/dedup_per.sql:226-330`). */
   def goldenFill(rows: DataFrame, fillCols: Seq[String]): DataFrame = {
     // (recency, value) ordering: recency ties would otherwise leave the
-    // winner to merge order — nondeterministic across partitionings
+    // winner to merge order — nondeterministic across partitionings.
+    // NULL last_updated rows stay eligible but sort lowest — T-SQL parity
+    // (ORDER BY last_updated DESC ranks NULLs last, never excludes)
     val aggs = fillCols.map(c =>
       max_by(col(c), when(col(c).isNotNull, struct(col("last_updated"), col(c)))).as(c))
     rows.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)

@@ -23,6 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int, seed: Long,
                                 kernel: String = "perm")
     extends UnaryExpression with CodegenFallback {
+  // validate at construction (= SQL analysis time for spark.sql callers):
+  // a typo'd kernel silently computing perm signatures would disagree
+  // bit-for-bit with every oph-signed table — recall collapses with no
+  // error anywhere downstream
+  require(kernel == "perm" || kernel == "oph",
+    s"unknown minhash kernel '$kernel' (expected 'perm' or 'oph')")
   private lazy val (pa, pb) = Hashing.permConstants(numPerms, seed)
   private val oph = kernel == "oph"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -35,7 +35,13 @@ object Knn {
     * embeddings table; with no probe, empty in → empty out naturally. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+  // bound for long-lived executors serving many (dim, bits, seed) configs
+  // (per-tenant seeds): each entry is dim×bits×8 B and would otherwise
+  // accumulate for the JVM lifetime. Planes are cheap, deterministic pure
+  // functions, so wholesale clear beats LRU bookkeeping on a hot path.
+  private val PlaneCacheMaxEntries = 64
   private def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    if (planeCache.size > PlaneCacheMaxEntries) planeCache.clear()
     planeCache.computeIfAbsent((dim, bits, seed),
       _ => hyperplanes(dim, bits, seed))
   }
@@ -105,8 +111,12 @@ object Knn {
       while (j < v.length) { dot += p(j) * v(j); j += 1 }
       dot
     })
-    val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+    // cached (engine-tracked): the returned plan references this frame
+    // from counts, the cold/singles splits, the hot branch, and the final
+    // vec_id join — without the cache each copy re-runs the (bits+1)×dim
+    // dot products per vector, the most expensive narrow op in the path
+    val bucketed = graft.stages.IntermediateCaches.persistTracked(embeddings
+      .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket")))
     // hot-bucket key set is tiny by construction (each holds > bucketCap
     // members ⇒ ≤ n/bucketCap keys) — broadcast-safe
     val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("__cnt"))

@@ -3,6 +3,7 @@ package graft.stages
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Canonical-document ("golden record") selection + id namespacing
   * (SURVEY §7.2 module 10).
@@ -41,6 +42,10 @@ object Golden {
       // first — nondeterministic across partitionings, violating the
       // byte-identical-rerun invariant. NULL values order first in the
       // struct, so a non-null value still wins its recency tie.
+      // A non-null value with NULL recency stays ELIGIBLE and loses to any
+      // non-null recency (struct with null first field sorts lowest) —
+      // T-SQL parity: ORDER BY last_updated DESC puts NULLs last, it does
+      // not exclude the row (`person_1/link_model_per.py:1597`).
       max_by(col(c), when(col(c).isNotNull, struct(col(orderCol), col(c)))).as(c)
     }
     clustered.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
@@ -49,40 +54,92 @@ object Golden {
   /** Dense ids from a namespace base — scalable form of
     * `DENSE_RANK() OVER (ORDER BY …) + base` (W6). A single-partition
     * global window is the reference shape but a scale hazard (SURVEY
-    * §7.5.5); this version range-partitions, computes per-partition counts
-    * (small collect), then offsets within partitions: distributed, same
-    * total order, same result. */
+    * §7.5.5); this version discovers range boundaries once (small collect
+    * of per-range min key + count), then assigns each key a range by
+    * binary search and offsets local ranks within ranges: distributed,
+    * same total order, same result.
+    *
+    * The range cuts are FROZEN on the driver, so the returned plan is a
+    * pure function of (input keys, frozen cuts): any re-execution —
+    * evicted cache, cleared engine caches before a late consumer, lost
+    * block — reconstructs identical ids. The earlier form reused the
+    * range exchange's own sampled partition ids, which RESAMPLE per
+    * physical execution; driver offsets keyed to one sampling then met
+    * rows partitioned by another, emitting duplicate/gapped ids.
+    *
+    * Keys must be integral or string (the engine's two uses: numeric
+    * cluster ids, name keys); a null key, if present, ranks first. */
   def denseIds(spark: SparkSession, masters: DataFrame, keyCol: String, base: Long,
                partitions: Int = 0): DataFrame = {
-    import spark.implicits._
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = masters.select(col(keyCol)).distinct()
-      .repartitionByRange(n, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
-    // The range exchange SAMPLES its boundaries per physical-plan execution
-    // (seeded by RDD id), so the counts action below and the lazy rank
-    // window would otherwise each re-execute the exchange with DIFFERENT
-    // boundaries — per-partition offsets keyed to stale pids, i.e.
-    // duplicate/gapped ids (observed at sf0.1 multi-partition scale).
-    // Persisting pins ONE materialized partitioning for every consumer;
-    // recompute of a lost block re-reads the same shuffle dependency
-    // (boundaries are fixed per exchange execution), never resamples.
-    // The final ids are boundary-independent either way — offsets + local
-    // ranks reconstruct the same global order wherever the cuts fall — so
-    // results stay deterministic across runs and parallelism levels.
-    val withPid = IntermediateCaches.persistTracked(
-      sorted.withColumn("__pid", spark_partition_id()))
-    val counts = withPid.groupBy("__pid").count().as[(Int, Long)].collect().toMap
-    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
-    val offsets = (0 to maxPid).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetsB = spark.sparkContext.broadcast(offsets.toArray)
-    val rankW = Window.partitionBy("__pid").orderBy(col(keyCol))
+    val keyType = masters.schema(keyCol).dataType
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case t => throw new IllegalArgumentException(
+        s"denseIds supports integral and string keys, got $t for '$keyCol'")
+    }
+    val keys = IntermediateCaches.persistTracked(masters.select(col(keyCol)).distinct())
+    // One materialization of a range exchange to DISCOVER cuts: the i-th
+    // non-empty partition covers exactly [min_i, min_{i+1}) — any key
+    // between partition i's upper boundary and min_{i+1} would itself be
+    // a smaller member of partition i+1. So (min, count) per partition,
+    // in order, fully describes a valid range split of the key set.
+    val stats = keys.repartitionByRange(n, col(keyCol))
+      .select(spark_partition_id().as("__p"), col(keyCol))
+      .groupBy("__p")
+      .agg(min(col(keyCol)).as("__min"), count(lit(1)).as("__cnt"))
+      .orderBy("__p")
+      .collect() // ≤ n rows, one per non-empty range
+    val offsets = stats.map(_.getLong(2)).scanLeft(0L)(_ + _)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // range index = last i with min_i <= key (binary search over the
+    // frozen mins). A null min marks the range holding only the null key
+    // (min() ignores nulls) = -infinity; null keys route to range 0 in
+    // the column guard, mirroring asc_nulls_first.
+    val pidOf = if (integral) {
+      val mins = stats.map(r => if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(r.get(1).asInstanceOf[Number].longValue))
+      val minsB = spark.sparkContext.broadcast(mins)
+      val u = udf((k: Long) => rangeOfLong(minsB.value, k))
+      when(col(keyCol).isNull, lit(0)).otherwise(u(col(keyCol).cast("long")))
+    } else {
+      val mins = stats.map(r => if (r.isNullAt(1)) null else r.getString(1))
+      val minsB = spark.sparkContext.broadcast(mins)
+      val u = udf((k: String) => rangeOfString(minsB.value, k))
+      when(col(keyCol).isNull, lit(0)).otherwise(u(col(keyCol)))
+    }
+    val rankW = Window.partitionBy("__pid").orderBy(col(keyCol).asc_nulls_first)
     val offsetUdf = udf((pid: Int) => offsetsB.value(pid))
-    withPid
+    keys
+      .withColumn("__pid", pidOf)
       .withColumn("__local", row_number().over(rankW).cast("long"))
       .withColumn("new_id", lit(base) + offsetUdf(col("__pid")) + col("__local"))
       .select(col(keyCol), col("new_id"))
+  }
+
+  // largest i with mins(i) <= k over ascending mins; a null min is the
+  // -infinity range (only the null key sorts below every non-null min,
+  // and callers route null keys to range 0 before the udf)
+  private def rangeOfLong(mins: Array[java.lang.Long], k: Long): Int = {
+    var lo = 0; var hi = mins.length - 1; var ans = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (mins(mid) == null || mins(mid).longValue <= k) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
+  private def rangeOfString(mins: Array[String], k: String): Int = {
+    var lo = 0; var hi = mins.length - 1; var ans = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (mins(mid) == null || mins(mid).compareTo(k) <= 0) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
   }
 
   /** Case-restore update-join (J6 variant,

@@ -80,6 +80,61 @@ class GoldenSpec extends SparkSpec {
     graft.Pipeline.clearIntermediateCaches(spark)
   }
 
+  test("denseIds: correct even when engine caches are cleared before consumption") {
+    // regression: the old form collected per-partition counts keyed to ONE
+    // sampled range partitioning and relied on the pinned cache to keep
+    // every consumer on that sampling. clearIntermediateCaches before the
+    // (lazy) output was consumed dropped the pin, the rank window
+    // re-executed the exchange with RESAMPLED boundaries, and the stale
+    // offsets emitted duplicate/gapped ids. Cuts are now frozen on the
+    // driver, so the plan is re-execution-safe — the cache is purely an
+    // optimization and the Caches doc ("clearing earlier is safe") holds.
+    val keys = (1L to 20000L).map(i => graft.expr.Hashing.mix64(i) & 0xFFFFFFFFL)
+    val out = Golden.denseIds(spark, keys.toDF("cluster_id"), "cluster_id",
+      7000000L, partitions = 16)
+    graft.Pipeline.clearIntermediateCaches(spark) // BEFORE any action on out
+    val got = out.as[(Long, Long)].collect().toMap
+    val distinctKeys = keys.distinct.sorted
+    assert(got.size == distinctKeys.length)
+    distinctKeys.zipWithIndex.foreach { case (k, i) =>
+      assert(got(k) == 7000001L + i, s"key $k rank ${i + 1}")
+    }
+    graft.Pipeline.clearIntermediateCaches(spark)
+  }
+
+  test("denseIds: string keys rank lexicographically; null key ranks first") {
+    val masters = Seq(Some("pear"), Some("apple"), None, Some("fig"), Some("apple"))
+      .toDF("s_name")
+    val got = Golden.denseIds(spark, masters, "s_name", 100L, partitions = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got == Map(None -> 101L, Some("apple") -> 102L,
+      Some("fig") -> 103L, Some("pear") -> 104L))
+    graft.Pipeline.clearIntermediateCaches(spark)
+  }
+
+  test("denseIds: unsupported key type fails loudly") {
+    val masters = Seq(1.5, 2.5).toDF("k")
+    val ex = intercept[IllegalArgumentException](
+      Golden.denseIds(spark, masters, "k", 0L))
+    assert(ex.getMessage.contains("integral and string"))
+  }
+
+  test("goldenFill: NULL-recency rows stay eligible, losing to any dated row " +
+      "(T-SQL ORDER BY DESC parity)") {
+    // cluster 10: the only non-null value carries NULL recency → it fills
+    // (T-SQL WITHIN GROUP (ORDER BY last_updated DESC) ranks NULLs last,
+    // never excludes). cluster 20: a dated value beats the NULL-dated one.
+    val df = Seq(
+      (10L, None: Option[Long], Some("only")),
+      (10L, Some(9L), None: Option[String]),
+      (20L, None, Some("undated")),
+      (20L, Some(1L), Some("dated")))
+      .toDF("cluster_id", "ord", "c1")
+    val got = Golden.goldenFill(df, "ord", Seq("c1"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "only", 20L -> "dated"))
+  }
+
   test("restoreOriginal: update-join restores source-cased values by id (J6)") {
     val lookup = Seq((1L, "anna maria", 10L), (2L, "bob", 20L), (3L, "cee", 30L))
       .toDF("id", "name", "cluster_id")

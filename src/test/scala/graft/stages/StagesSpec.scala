@@ -36,6 +36,17 @@ class StagesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"hash plan must not window:\n$plan")
   }
 
+  test("minhash_sig: unknown kernel fails at analysis, not as silent perm signatures") {
+    // a typo'd kernel silently computing perm signatures would disagree
+    // bit-for-bit with every oph-signed table — recall collapse, no error
+    graft.expr.GraftFunctions.register(spark)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    val ex = intercept[Throwable](
+      spark.sql("SELECT minhash_sig('abc def ghi', 3, 16, 42, 'ohp')").collect())
+    assert(chain(ex).contains("unknown minhash kernel"), chain(ex))
+  }
+
   test("collect_capped: complete+sorted under cap, exactly cap when truncated") {
     graft.expr.GraftFunctions.register(spark)
     val rows = ((1L to 100L).map(i => (1L, i)) ++ Seq((2L, 7L), (2L, 3L), (2L, 5L)))
