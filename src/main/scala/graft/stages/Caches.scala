@@ -36,9 +36,16 @@ private[graft] object IntermediateCaches {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
 
-  /** Persist `df` at `level` and register it for later [[clear]]. */
+  /** Persist `df` at `level` and register it for later [[clear]].
+    *
+    * No-op when the plan is already cached: either the CALLER persisted it
+    * (their cache must survive [[clear]] — tracking it here would evict it
+    * behind their back) or an earlier engine call registered it (that
+    * registration already releases it; re-persisting would only WARN and
+    * double-track). */
   def persistTracked(df: DataFrame,
                      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    if (df.storageLevel != StorageLevel.NONE) return df
     val out = df.persist(level)
     tracked.synchronized {
       var lst = tracked.get(df.sparkSession)

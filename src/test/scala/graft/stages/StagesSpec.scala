@@ -36,6 +36,18 @@ class StagesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"hash plan must not window:\n$plan")
   }
 
+  test("persistTracked never adopts a caller's cache: engine clear leaves it live") {
+    import org.apache.spark.storage.StorageLevel
+    val df = Seq(1, 2, 3).toDF("x").persist()
+    try {
+      df.count()
+      IntermediateCaches.persistTracked(df) // no-op: plan already cached
+      graft.Pipeline.clearIntermediateCaches(spark)
+      assert(df.storageLevel != StorageLevel.NONE,
+        "engine clear evicted the CALLER's cache")
+    } finally df.unpersist()
+  }
+
   test("minhash_sig: unknown kernel fails at analysis, not as silent perm signatures") {
     // a typo'd kernel silently computing perm signatures would disagree
     // bit-for-bit with every oph-signed table — recall collapse, no error
