@@ -48,11 +48,17 @@ object MultiEntity {
     // so both ceilings become Long.MaxValue and raise_error never fires).
     require(models.map(_._1.rangeBase).distinct.size == models.size,
       "range bases must be unique — duplicate bases collide namespaces")
-    val lookup = models.map { case (m, docs) =>
-      m.dedup(docs)
-        .select(col("id"), col("cluster_id"))
-        .withColumn("entity_type", lit(m.entityType))
-    }.reduce(_ unionByName _)
+    // cached (engine-tracked): every entity's assignment tail (its dedup
+    // model's CC groupBy + joins) sits under this union, and downstream
+    // consumers reference it repeatedly — namespacedIds' per-type dense-id
+    // stats jobs plus its final join, then unifiedMasters' member/donor
+    // splits. Without the cache each reference re-runs every model.
+    val lookup = graft.stages.IntermediateCaches.persistTracked(
+      models.map { case (m, docs) =>
+        m.dedup(docs)
+          .select(col("id"), col("cluster_id"))
+          .withColumn("entity_type", lit(m.entityType))
+      }.reduce(_ unionByName _))
     val bases = models.map { case (m, _) => m.entityType -> m.rangeBase }.toMap
     // Namespace-overflow guard, in the PLAN (no extra action): if an
     // entity resolves to more clusters than the gap to the next range
@@ -89,7 +95,11 @@ object MultiEntity {
     * @param payload per-id columns to carry/fill: (id, fillCols…) */
   def unifiedMasters(lookup: DataFrame, payload: DataFrame,
                      fillCols: Seq[String], orderKey: Column): DataFrame = {
-    val members = lookup.join(payload, Seq("id"), "left")
+    // cached (engine-tracked): the master/donor splits and the per-fillCol
+    // fold each reference this join — F fill columns would otherwise
+    // re-run it (and everything under the lookup) F+1 times
+    val members = graft.stages.IntermediateCaches.persistTracked(
+      lookup.join(payload, Seq("id"), "left"))
     val masters = members.filter(col("is_master"))
     val donors = members.filter(!col("is_master"))
     fillCols.foldLeft(masters) { (m, c) =>

@@ -129,7 +129,12 @@ object Pipeline {
     // pipeline, computed once, cached
     val sigs = IntermediateCaches.persistTracked(
       Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash"))
-    val candidates = Blocking.candidatePairs(sigs, cfg)
+    // candidates persist (as in run()): exactVerify's plan references the
+    // scoring subtree from the id semi-join, the exact join, and the
+    // below-threshold union — composed repeated subtrees that exchange
+    // reuse cannot be relied on to collapse; the pair-dedup shuffle would
+    // re-execute per reference at full candidate volume
+    val candidates = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
     val rawScored = Scoring.score(candidates, sigs, cfg)
     val scored = if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
       else rawScored
@@ -171,16 +176,23 @@ object Pipeline {
       committed
     }
 
-    def freshSplit() =
-      if (cfg.exactDedupByHash) ExactDedup.splitByHash(docs, "id", "text")
-      else ExactDedup.split(docs, "id", "text")
-    val survivors = withLineage("survivors") { freshSplit()._1 }
-    val holdouts = withLineage("holdouts") { freshSplit()._2 }
+    // ONE split shared by both commits: building it twice would run the
+    // full-corpus exact-dedup shuffle twice on a fresh run — the widest
+    // stage in the pipeline, doubled. The persist flag keeps the second
+    // commit on the materialized intermediate instead of a rebuilt plan.
+    // lazy: a fully-resumed run (both snapshots present) never builds it.
+    lazy val split =
+      if (cfg.exactDedupByHash)
+        ExactDedup.splitByHash(docs, "id", "text", persistHoldouts = true)
+      else ExactDedup.split(docs, "id", "text", persistRanked = true)
+    val survivors = withLineage("survivors") { split._1 }
+    val holdouts = withLineage("holdouts") { split._2 }
     val sigs = withLineage("signatures") {
       Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash")
     }
     val edges = withLineage("edges") {
-      val cand = Blocking.candidatePairs(sigs, cfg)
+      // persisted for the same multi-reference reason as run()/runLite
+      val cand = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
       val rawScored = Scoring.score(cand, sigs, cfg)
       val sc = if (cfg.exactVerify) Scoring.exactVerify(rawScored, survivors, cfg)
         else rawScored
@@ -199,14 +211,38 @@ object Pipeline {
   }
 
   /** Ingest raw pages: extract text (pinned extractor) + assign stable ids.
-    * id = xxhash64(url) — deterministic; collision-checked in tests. For
-    * corpora with numeric ids, pass docs straight to [[run]]. */
-  def fromPages(pages: DataFrame): DataFrame = {
+    * id = xxhash64(url) — deterministic.
+    *
+    * Collision honesty: a 64-bit id space expects ~n²/2^65 colliding url
+    * pairs — negligible through 10^10 urls (< 3·10^-6 expected pairs) but
+    * ~27 expected pairs at the 10^12-doc design ceiling, where two
+    * distinct pages would silently share an id through dedup and CC. At
+    * that scale pass caller-provided unique ids (crawl record ids)
+    * straight to [[run]], or set `verifyUnique = true`: the guard rides
+    * the PLAN (one groupBy on the 8-byte id — no eager action here) and
+    * raise_errors on the first id held by two distinct urls. */
+  def fromPages(pages: DataFrame, verifyUnique: Boolean = false): DataFrame = {
     val extractUdf = udf((html: Array[Byte]) => TextExtract.extract(html))
-    pages
+    val docs = pages
       .withColumn("id", xxhash64(col("url")))
       .withColumn("text", extractUdf(col("html")))
       .select("id", "url", "warc_ts", "text", "lang")
+    if (!verifyUnique) docs
+    else {
+      val clashes = docs.groupBy("id")
+        .agg(countDistinct(col("url")).as("__urls"))
+        .filter(col("__urls") > 1)
+        .select(col("id"), lit(true).as("__clash"))
+      docs.join(clashes, Seq("id"), "left")
+        .withColumn("id",
+          when(col("__clash"),
+            raise_error(concat(lit("xxhash64(url) id collision at id "),
+              col("id").cast("string"),
+              lit(" — provide caller-assigned unique ids at this corpus size")))
+              .cast("long"))
+            .otherwise(col("id")))
+        .drop("__clash")
+    }
   }
 
   private def stageMetrics(spark: SparkSession, m: Map[String, Long]): DataFrame = {

@@ -165,7 +165,11 @@ object Knn {
 
     val within = coldPairs.unionByName(hotPairs).unionByName(probePairs)
       .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
-      .groupBy("vec_id").agg(max_by(col("nid"), col("cos")).as("nn_id"))
+      // (-cos, nid) min: max cosine, ties to the SMALLEST nid — cosine
+      // ties are routine in a dedup corpus (exact-duplicate embeddings)
+      // and bare max_by(nid, cos) keeps whichever row the merge visits
+      // first, flipping nn_id across partitionings/reruns
+      .groupBy("vec_id").agg(min_by(col("nid"), struct(negate(col("cos")), col("nid"))).as("nn_id"))
     bucketed.select("vec_id")
       .join(within, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"))
@@ -263,21 +267,40 @@ object Knn {
     }
     val cellsUdf = udf((v: Seq[Float]) => {
       val va = v.toArray
-      centsB.value.map { case (i, c) => (i, cos(c, va)) }
-        .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+      val scores = centsB.value.map { case (_, c) => cos(c, va) }
+      // top-nProbe by repeated max scan — O(k·nProbe), not O(k log k):
+      // with k ≈ √n centroids this udf is the dominant per-row cost and
+      // a full sort pays log k for the ≤ 2 indices actually kept
+      val out = new Array[Int](math.min(nProbe, scores.length))
+      val taken = new Array[Boolean](scores.length)
+      var o = 0
+      while (o < out.length) {
+        var best = -1; var bs = Double.NegativeInfinity; var i = 0
+        while (i < scores.length) {
+          if (!taken(i) && scores(i) > bs) { bs = scores(i); best = i }
+          i += 1 // strict > : ties resolve to the lowest index, a total order
+        }
+        taken(best) = true; out(o) = best; o += 1
+      }
+      out
     })
+    // cells computed ONCE per vector (engine-tracked cache): `assigned`
+    // and `probes` below would otherwise each run the k-cosine loop —
+    // the dominant compute of the IVF path — over the full table
+    val withCells = graft.stages.IntermediateCaches.persistTracked(
+      embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("cells", cellsUdf(col("embedding"))))
     // data side: each vector lives in its single nearest cell
-    val assigned = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", cellsUdf(col("embedding")).getItem(0))
+    val assigned = withCells.withColumn("cell", col("cells").getItem(0)).drop("cells")
     // query side: probe the nProbe nearest cells
-    val probes = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", explode(cellsUdf(col("embedding"))))
+    val probes = withCells.withColumn("cell", explode(col("cells"))).drop("cells")
     val cand = probes.join(
         assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("emb_b")),
         Seq("cell"))
       .filter(col("vec_id") =!= col("nid"))
       .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
-      .groupBy("vec_id").agg(max_by(col("nid"), col("cos")).as("nn_id"))
+      // deterministic tie-break, same rationale as lshTop1
+      .groupBy("vec_id").agg(min_by(col("nid"), struct(negate(col("cos")), col("nid"))).as("nn_id"))
     embeddings.select("vec_id")
       .join(cand, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"))

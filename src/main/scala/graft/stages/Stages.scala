@@ -235,8 +235,8 @@ object PairGen {
     * GLOBAL sort order, consecutive members pair within each partition
     * (mapPartitions — the one place imperative per-partition logic is the
     * right tool), and the per-key last/first rows at partition boundaries
-    * are stitched by a join over a tiny (≤ 2 rows × keys × partitions)
-    * boundary table. The emitted edge set is exactly the window plan's:
+    * are stitched by a lead() window over a tiny (≤ 2 rows × keys ×
+    * partitions) boundary table — linear in the key's partition span. The emitted edge set is exactly the window plan's:
     * all consecutive (sort, id)-ordered pairs per key. Range boundaries
     * come from sampling and are not themselves deterministic, but the
     * output depends only on the total order, so it is. */
@@ -286,17 +286,21 @@ object PairGen {
         greatest(col("a"), col("b")).as("id_r"), col("key"))
     // stitch: last row of a key in partition p pairs with the key's first
     // row in the NEXT partition that holds it (range partitioning keeps a
-    // key's span contiguous; min(pid') skips empty partitions)
-    val lasts = tagged.filter(col("kind") === 2)
-      .select(col("key"), col("pid"), col("a").as("last_id"))
-    val firsts = tagged.filter(col("kind") === 1)
-      .select(col("key"), col("pid").as("pid2"), col("a").as("first_id"))
-    val stitch = lasts.join(firsts, "key")
-      .filter(col("pid2") > col("pid"))
-      .groupBy(col("key"), col("pid"), col("last_id"))
-      .agg(min_by(col("first_id"), col("pid2")).as("first_id"))
-      .select(least(col("last_id"), col("first_id")).as("id_l"),
-        greatest(col("last_id"), col("first_id")).as("id_r"), col("key"))
+    // key's span contiguous). Every (key, partition) holding the key emits
+    // exactly one first and one last, so ordered by (pid, kind) the
+    // boundary rows interleave f,l,f,l,… and lead(1) from each last IS the
+    // next partition's first. This is O(m) per key spanning m partitions;
+    // the previous lasts.join(firsts, "key") put all m² (last × first)
+    // combinations in the key's single reducer before pruning — at
+    // production widths (m ≈ 10^4-10^5 for a 10^7-member bucket) that is
+    // the single-task hotspot this function exists to avoid.
+    val bw = Window.partitionBy("key").orderBy(col("pid"), col("kind"))
+    val stitch = tagged.filter(col("kind") > 0)
+      .select(col("key"), col("pid"), col("kind"), col("a"))
+      .withColumn("__nxt", lead(col("a"), 1).over(bw))
+      .filter(col("kind") === 2 && col("__nxt").isNotNull)
+      .select(least(col("a"), col("__nxt")).as("id_l"),
+        greatest(col("a"), col("__nxt")).as("id_r"), col("key"))
     within.unionByName(stitch)
   }
 
@@ -525,12 +529,18 @@ object Scoring {
     * candidate docs (semi-join restriction, same staging as exactVerify). */
   def tfWeightedScores(pairs: DataFrame, docs: DataFrame, cfg: EngineConfig,
                        idCol: String = "id", textCol: String = "text"): DataFrame = {
-    val nDocs = docs.count()
+    // nDocs rides the plan as a one-row aggregate broadcast into the idf
+    // table: an eager docs.count() here launched a full-corpus serial job
+    // at PLAN-CONSTRUCTION time on every exactVerify call with tfWeighting
+    // on — a size-independent Amdahl term the lazy form avoids
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
     // shingleHashes emits distinct hashes per doc, so (doc, sh) is distinct
     val sh = docs.select(col(idCol).as("__id"),
       explode(GraftFunctions.shingleHashes(col(textCol), cfg.shingleK)).as("sh"))
     val idf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log(lit(nDocs.toDouble + 1.0) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log((col("__n") + 1.0) / col("df")))
+      .drop("__n")
     val ids = pairs.select(explode(array(col("id_l"), col("id_r"))).as("__id")).distinct()
     val touched = sh.join(ids, Seq("__id"), "left_semi")
       .join(idf.select("sh", "idf"), "sh")

@@ -143,26 +143,55 @@ object StreamingDedup {
       }.toDF()
   }
 
-  final case class UrlState(firstTs: Long, count: Long)
+  final case class UrlState(firstTs: Long, count: Long) // firstTs epoch ms
   final case class UrlUpdate(url: String, firstTs: Long, count: Long)
 
   /** Custom stateful op (mapGroupsWithState): per-url recrawl counter with
-    * processing-time timeout — demonstrates the KeyValueGroupedDataset
+    * event-time state eviction — demonstrates the KeyValueGroupedDataset
     * state API the engine exposes for bespoke streaming state. */
-  def recrawlCounter(pages: DataFrame): DataFrame = {
+  def recrawlCounter(pages: DataFrame, stateTtl: String = "1 hour",
+                     watermarkDelay: String = "10 minutes"): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select(col("url"), col("warc_ts").cast("long").as("ts"))
-      .as[(String, Long)]
+    // EVENT-time eviction (same policy as nearDupCandidates): a url whose
+    // newest crawl is stateTtl behind the watermark is dropped, bounding
+    // the store by urls ACTIVE within the horizon rather than every url
+    // ever seen on an infinite crawl. (Processing-time timeouts would also
+    // make every no-data trigger re-run batches, livelocking
+    // processAllAvailable-style drains.)
+    // the watermarked COLUMN must reach the grouped Dataset's output —
+    // Spark's event-time-timeout check looks for the watermark attribute
+    // there, so the ms conversion happens inside the mapper, not a select
+    pages.select(col("url"), col("warc_ts").cast("timestamp").as("__wts"))
+      .withWatermark("__wts", watermarkDelay)
+      .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UrlState, UrlUpdate](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[UrlState, UrlUpdate](GroupStateTimeout.EventTimeTimeout()) {
         case (url, rows, state: GroupState[UrlState]) =>
-          val batch = rows.toSeq
-          val prev = state.getOption.getOrElse(UrlState(batch.map(_._2).min, 0L))
-          val next = UrlState(math.min(prev.firstTs, batch.map(_._2).min),
-            prev.count + batch.size)
-          state.update(next)
-          UrlUpdate(url, next.firstTs, next.count)
+          if (state.hasTimedOut) {
+            // re-emit the final tally as the entry is dropped
+            val last = state.get
+            state.remove()
+            UrlUpdate(url, last.firstTs, last.count)
+          } else {
+            // single-pass fold: buffering rows.toSeq would materialize a
+            // hot url's entire micro-batch in one task (the OOM hazard
+            // nearDupCandidates documents for the same iterator)
+            var minTs = Long.MaxValue
+            var maxTs = Long.MinValue
+            var n = 0L
+            rows.foreach { r =>
+              val t = r._2.getTime
+              if (t < minTs) minTs = t
+              if (t > maxTs) maxTs = t
+              n += 1
+            }
+            val prev = state.getOption.getOrElse(UrlState(minTs, 0L))
+            val next = UrlState(math.min(prev.firstTs, minTs), prev.count + n)
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs, stateTtl)
+            UrlUpdate(url, next.firstTs, next.count)
+          }
       }.toDF()
   }
 }

@@ -33,6 +33,24 @@ class KnnSpec extends SparkSpec {
     assert(same == total, s"brute top-3 must stay within the tight clusters ($same/$total)")
   }
 
+  test("cosine ties resolve to the smallest nid under any partitioning " +
+      "(exact-duplicate embeddings are routine in a dedup corpus)") {
+    // three IDENTICAL vectors: every query sees two candidates at cos 1.0;
+    // bare max_by(nid, cos) kept whichever the merge visited first
+    val v = Array.fill(16)(0.25f)
+    val emb = Seq((1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
+    val expect = Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+    (1 to 6).foreach { p =>
+      val lsh = Knn.lshTop1(spark, emb.repartition(p), EngineConfig.default)
+        .as[(Long, Long)].collect().toMap
+      assert(lsh == expect, s"lshTop1 tie winner changed at partitioning $p: $lsh")
+      val ivf = Knn.ivfTop1(spark, emb.repartition(p), k = 2, nProbe = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(ivf == expect, s"ivfTop1 tie winner changed at partitioning $p: $ivf")
+    }
+    graft.Pipeline.clearIntermediateCaches(spark)
+  }
+
   test("IVF top-1 recall vs brute-force >= 0.9 on clustered data") {
     val emb = clustered.select("vec_id", "embedding")
     val brute = Knn.bruteTopK(spark, emb, 1)

@@ -137,10 +137,15 @@ class StagesSpec extends SparkSpec {
     val want = ordered.zip(ordered.tail)
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
     assert(got == want, s"chain mismatch: missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
-    // plan shape: range exchange present, no Window node in the hot path
+    // plan shape: range exchange present; the only Window allowed is the
+    // boundary stitch (ordered by pid/kind over ≤ 2 rows per key ×
+    // partition) — a window touching the data's `sort` column would be the
+    // full-bucket single-task hazard this path exists to avoid
     val plan = PairGen.pairs(buckets).queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"expected range exchange:\n$plan")
-    assert(!plan.contains("Window"), s"hot path must not use a per-key window:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windowLines.forall(l => l.contains("pid#") && !l.contains("sort#")),
+      s"hot path may window only the boundary table:\n$plan")
   }
 
   test("PairGen: rankedWidthPairs equals the per-key width-k window pair set") {
