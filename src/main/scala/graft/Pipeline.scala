@@ -43,14 +43,10 @@ object Pipeline {
   def run(spark: SparkSession, docs: DataFrame, cfg: EngineConfig = EngineConfig.default,
           substringPass: Boolean = true): Result = {
     GraftFunctions.register(spark)
-    // Only persist-track the input when the CALLER has not persisted it:
-    // Spark caches are keyed by plan, so persisting an already-persisted
-    // frame is a no-op and a later clearIntermediateCaches would evict the
-    // caller's cache — violating the "engine caches only" contract.
-    val input =
-      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        IntermediateCaches.persistTracked(docs)
-      else docs
+    // persistTracked is a no-op on an already-persisted plan, so a
+    // CALLER-persisted input is reused untouched (and never tracked —
+    // clearIntermediateCaches must not evict the caller's cache)
+    val input = IntermediateCaches.persistTracked(docs)
 
     val (survivors, holdouts) =
       if (cfg.exactDedupByHash) ExactDedup.splitByHash(input, persistHoldouts = true)

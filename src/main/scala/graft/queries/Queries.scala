@@ -483,14 +483,6 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // threshold-centric config end-to-end (≙ the reference's per-model
-    // thresholds 22/18.5/22/10.5/5.8, SURVEY §2.9): EngineConfig
-    // .forThreshold(0.8) picks the banding whose LSH S-curve midpoint is
-    // closest to the target (8 bands × 16 rows, s* ≈ 0.878) and sets the
-    // verify threshold — the same pipeline, retuned by ONE number, the way
-    // Splink models are retuned by threshold_match_weight. Rows-only
-    // (minhash-dependent); EngineConfigSpec pins the band choice and
-    // StagesSpec the recall at the retuned threshold.
     // §3.3 multi-entity orchestrator END-TO-END (person_2/person.py:28-41 →
     // fv_all_person_lookup.sql:30-115 → fv_person.sql:268-338): a
     // sequential driver loop over three entity-typed slices of the corpus
@@ -561,6 +553,14 @@ object Queries {
         .orderBy("col_name")
     }),
 
+    // threshold-centric config end-to-end (≙ the reference's per-model
+    // thresholds 22/18.5/22/10.5/5.8, SURVEY §2.9): EngineConfig
+    // .forThreshold(0.8) picks the banding whose LSH S-curve midpoint is
+    // closest to the target (8 bands × 16 rows, s* ≈ 0.878) and sets the
+    // verify threshold — the same pipeline, retuned by ONE number, the way
+    // Splink models are retuned by threshold_match_weight. Rows-only
+    // (minhash-dependent); EngineConfigSpec pins the band choice and
+    // StagesSpec the recall at the retuned threshold.
     "q38_threshold_tuned" -> ((s, dir) => {
       GraftFunctions.register(s)
       val tuned = EngineConfig.forThreshold(0.8)

@@ -274,15 +274,20 @@ object Knn {
       val out = new Array[Int](math.min(nProbe, scores.length))
       val taken = new Array[Boolean](scores.length)
       var o = 0
-      while (o < out.length) {
+      var exhausted = false
+      while (o < out.length && !exhausted) {
         var best = -1; var bs = Double.NegativeInfinity; var i = 0
         while (i < scores.length) {
           if (!taken(i) && scores(i) > bs) { bs = scores(i); best = i }
           i += 1 // strict > : ties resolve to the lowest index, a total order
         }
-        taken(best) = true; out(o) = best; o += 1
+        // best = -1 when every untaken score is NaN (corrupt embedding →
+        // NaN cosine everywhere): stop instead of indexing taken(-1);
+        // fewer (possibly zero) cells degrade to the left-join -1 answer
+        if (best < 0) exhausted = true
+        else { taken(best) = true; out(o) = best; o += 1 }
       }
-      out
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
     })
     // cells computed ONCE per vector (engine-tracked cache): `assigned`
     // and `probes` below would otherwise each run the k-cosine loop —
@@ -290,8 +295,11 @@ object Knn {
     val withCells = graft.stages.IntermediateCaches.persistTracked(
       embeddings.select(col("vec_id"), col("embedding"))
         .withColumn("cells", cellsUdf(col("embedding"))))
-    // data side: each vector lives in its single nearest cell
-    val assigned = withCells.withColumn("cell", col("cells").getItem(0)).drop("cells")
+    // data side: each vector lives in its single nearest cell. get() not
+    // getItem(): cells is EMPTY for an all-NaN corrupt vector and ANSI
+    // mode makes getItem(0) throw on it — get() yields the null that the
+    // join then drops
+    val assigned = withCells.withColumn("cell", get(col("cells"), lit(0))).drop("cells")
     // query side: probe the nProbe nearest cells
     val probes = withCells.withColumn("cell", explode(col("cells"))).drop("cells")
     val cand = probes.join(

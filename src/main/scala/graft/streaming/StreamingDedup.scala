@@ -143,7 +143,7 @@ object StreamingDedup {
       }.toDF()
   }
 
-  final case class UrlState(firstTs: Long, count: Long) // firstTs epoch ms
+  final case class UrlState(firstTs: Long, lastTs: Long, count: Long) // epoch ms
   final case class UrlUpdate(url: String, firstTs: Long, count: Long)
 
   /** Custom stateful op (mapGroupsWithState): per-url recrawl counter with
@@ -186,10 +186,15 @@ object StreamingDedup {
               if (t > maxTs) maxTs = t
               n += 1
             }
-            val prev = state.getOption.getOrElse(UrlState(minTs, 0L))
-            val next = UrlState(math.min(prev.firstTs, minTs), prev.count + n)
+            val prev = state.getOption.getOrElse(UrlState(minTs, maxTs, 0L))
+            val next = UrlState(math.min(prev.firstTs, minTs),
+              math.max(prev.lastTs, maxTs), prev.count + n)
             state.update(next)
-            state.setTimeoutTimestamp(maxTs, stateTtl)
+            // anchor the TTL to the NEWEST crawl EVER seen, not this
+            // batch's max: a late-but-above-watermark batch must not
+            // shrink the eviction horizon (same policy nearDupCandidates
+            // documents for its bucket state)
+            state.setTimeoutTimestamp(next.lastTs, stateTtl)
             UrlUpdate(url, next.firstTs, next.count)
           }
       }.toDF()

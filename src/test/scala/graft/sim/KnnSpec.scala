@@ -197,4 +197,17 @@ class KnnSpec extends SparkSpec {
     assert(Knn.embedDedup(spark, empty).count() == 0)
     assert(Knn.ivfTop1(spark, empty).count() == 0)
   }
+
+  test("ivfTop1 survives corrupt NaN embeddings; clean vectors keep their answers") {
+    // one NaN row (routine at web scale) makes every centroid cosine NaN —
+    // the top-nProbe scan must degrade to the -1 answer, not throw
+    val corrupt = clustered.select("vec_id", "embedding")
+      .union(Seq((999L, Array.fill(16)(Float.NaN))).toDF("vec_id", "embedding"))
+    val res = Knn.ivfTop1(spark, corrupt, k = 8, nProbe = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(res.size == 401, s"every vector answered (got ${res.size})")
+    assert(res(999L) == -1L, s"corrupt vector answers -1 (got ${res(999L)})")
+    val cleanAnswered = res.iterator.count { case (id, nn) => id != 999L && nn >= 0L }
+    assert(cleanAnswered == 400, s"clean vectors still get neighbours ($cleanAnswered/400)")
+  }
 }

@@ -110,4 +110,28 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
     assert(counts("u1") == 3L && counts("u2") == 1L)
   }
+
+  test("recrawl TTL anchors to newest crawl ever seen, not a late batch's max") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("url", "warc_ts")
+    val q = StreamingDedup.recrawlCounter(df) // ttl 1h, watermark 10m
+      .writeStream.format("memory").queryName("recrawl_ttl")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(("u1", ts(0)), ("u1", ts(9))) // newest crawl t=9 → timeout 69
+    q.processAllAvailable()
+    // late but above-watermark recrawl: must NOT pull the timeout back to 62
+    input.addData(("u1", ts(2)))
+    q.processAllAvailable()
+    input.addData(("u3", ts(75))) // watermark → 65 after this batch
+    q.processAllAvailable()
+    input.addData(("u3", ts(76))) // timeouts evaluated at wm 65: 69 survives
+    q.processAllAvailable()
+    input.addData(("u1", ts(70))) // state intact → count continues, not re-seeded
+    q.processAllAvailable()
+    val c = spark.table("recrawl_ttl").where(col("url") === "u1")
+      .agg(max("count")).as[Long].head()
+    q.stop()
+    assert(c == 4L, s"u1 state was evicted early (max count $c, expected 4)")
+  }
 }
