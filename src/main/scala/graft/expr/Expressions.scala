@@ -171,6 +171,11 @@ final case class CosineSimExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toFloatArray()
     val b = r.asInstanceOf[ArrayData].toFloatArray()
+    // corrupt rows (wrong/zero dimension) are routine at web scale: a
+    // mismatched pair has no meaningful similarity — 0.0 keeps it below
+    // any threshold (same convention as the zero-norm case) instead of
+    // b(i) crashing the job
+    if (a.length != b.length) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {

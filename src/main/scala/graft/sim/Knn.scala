@@ -258,6 +258,9 @@ object Knn {
     // both sides Array: a Seq param here would implicitly COPY the query
     // vector once per centroid per row (k*dim floats of garbage per doc)
     def cos(a: Array[Float], b: Array[Float]): Double = {
+      // wrong-dimension corrupt vector vs centroid: NaN, which the
+      // top-nProbe scan skips — the vector only probes matching-dim cells
+      if (a.length != b.length) return Double.NaN
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)

@@ -198,16 +198,34 @@ class KnnSpec extends SparkSpec {
     assert(Knn.ivfTop1(spark, empty).count() == 0)
   }
 
-  test("ivfTop1 survives corrupt NaN embeddings; clean vectors keep their answers") {
-    // one NaN row (routine at web scale) makes every centroid cosine NaN —
-    // the top-nProbe scan must degrade to the -1 answer, not throw
+  test("ivfTop1 survives corrupt embeddings (NaN, wrong dim, empty); clean vectors keep answers") {
+    // corrupt rows are routine at web scale: an all-NaN vector makes every
+    // centroid cosine NaN, a wrong-dimension or empty vector used to throw
+    // AIOOBE inside cos — all must degrade to the -1 answer, not crash
     val corrupt = clustered.select("vec_id", "embedding")
-      .union(Seq((999L, Array.fill(16)(Float.NaN))).toDF("vec_id", "embedding"))
+      .union(Seq(
+        (999L, Array.fill(16)(Float.NaN)),
+        (998L, Array(1f, 2f)),
+        (997L, Array.empty[Float])).toDF("vec_id", "embedding"))
     val res = Knn.ivfTop1(spark, corrupt, k = 8, nProbe = 2)
       .as[(Long, Long)].collect().toMap
-    assert(res.size == 401, s"every vector answered (got ${res.size})")
-    assert(res(999L) == -1L, s"corrupt vector answers -1 (got ${res(999L)})")
-    val cleanAnswered = res.iterator.count { case (id, nn) => id != 999L && nn >= 0L }
+    assert(res.size == 403, s"every vector answered (got ${res.size})")
+    Seq(999L, 998L, 997L).foreach { id =>
+      assert(res(id) == -1L, s"corrupt vector $id answers -1 (got ${res(id)})") }
+    val cleanAnswered = res.iterator.count { case (id, nn) => id < 400L && nn >= 0L }
     assert(cleanAnswered == 400, s"clean vectors still get neighbours ($cleanAnswered/400)")
+  }
+
+  test("cosine_sim degrades mismatched or zero-dim vectors to 0.0 instead of throwing") {
+    graft.expr.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array(1f, 0f), Array(1f, 0f, 0f)), // wrong dim
+      (2L, Array(1f, 0f), Array.empty[Float]), // empty side
+      (3L, Array(1f, 0f), Array(1f, 0f))) // clean control
+      .toDF("id", "a", "b")
+      .select(col("id"), graft.expr.GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(df(1L) == 0.0 && df(2L) == 0.0, s"degraded pairs score 0.0 ($df)")
+    assert(math.abs(df(3L) - 1.0) < 1e-9, s"clean pair unaffected ($df)")
   }
 }
