@@ -73,12 +73,7 @@ object Pipeline {
     val survivorAssign = ConnectedComponents.assign(
       spark, survivors.select("id"), allEdges, cfg.maxCcIterations,
       cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges)
-    val holdoutAssign = holdouts
-      .join(survivorAssign.withColumnRenamed("id", "__sid"),
-        holdouts("master_id") === col("__sid"), "left")
-      .select(col("id"),
-        coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
-    val assignments = survivorAssign.unionByName(holdoutAssign)
+    val assignments = ExactDedup.reattach(survivorAssign, holdouts)
 
     // cluster-row lineage (the reference's main human-facing table,
     // person_1/link_model_per.py:1064-1129 + :1219-1262): gammas of the
@@ -142,11 +137,7 @@ object Pipeline {
     val survivorAssign = ConnectedComponents.assign(
       spark, survivors.select("id"), allEdges, cfg.maxCcIterations,
       cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges)
-    val holdoutAssign = holdouts
-      .join(survivorAssign.withColumnRenamed("id", "__sid"),
-        holdouts("master_id") === col("__sid"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
-    survivorAssign.unionByName(holdoutAssign)
+    ExactDedup.reattach(survivorAssign, holdouts)
   }
 
   /** Resumable pipeline: every stage boundary is an Iceberg-style snapshot
@@ -198,11 +189,7 @@ object Pipeline {
     withLineage("assignments") {
       val sa = ConnectedComponents.assign(spark, survivors.select("id"), edges,
         cfg.maxCcIterations, cfg.reliableCheckpoints, cfg.ccFastPathMaxEdges)
-      val ha = holdouts
-        .join(sa.withColumnRenamed("id", "__sid"),
-          holdouts("master_id") === col("__sid"), "left")
-        .select(col("id"), coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
-      sa.unionByName(ha)
+      ExactDedup.reattach(sa, holdouts)
     }
   }
 

@@ -36,16 +36,10 @@ object PersonParity {
   }
 
   /** W4/A7 golden-record fill: per column, latest non-null by last_updated
-    * (`person_1/dedup_per.sql:226-330`). */
-  def goldenFill(rows: DataFrame, fillCols: Seq[String]): DataFrame = {
-    // (recency, value) ordering: recency ties would otherwise leave the
-    // winner to merge order — nondeterministic across partitionings.
-    // NULL last_updated rows stay eligible but sort lowest — T-SQL parity
-    // (ORDER BY last_updated DESC ranks NULLs last, never excludes)
-    val aggs = fillCols.map(c =>
-      max_by(col(c), when(col(c).isNotNull, struct(col("last_updated"), col(c)))).as(c))
-    rows.groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
-  }
+    * (`person_1/dedup_per.sql:226-330`). One kernel — the tie-break and
+    * null-eligibility semantics live in [[graft.stages.Golden.goldenFill]]. */
+  def goldenFill(rows: DataFrame, fillCols: Seq[String]): DataFrame =
+    graft.stages.Golden.goldenFill(rows, "last_updated", fillCols)
 
   /** DOB repair rules (`person_1/dedup_per.sql:431-571`), T-SQL
     * DATEDIFF(YEAR) = year-boundary crossings (F14 semantics — NOT full

@@ -19,7 +19,12 @@ object DoubleMetaphone {
 
   def encode(input: String, maxLength: Int): Array[String] = {
     if (input == null) return null
-    val in = input.toUpperCase.replaceAll("[^A-Z]", "")
+    // keep Ç/Ñ and internal spaces: the published rules this body
+    // implements depend on them ('Ç'→S, 'Ñ'→N, "VAN "/"VON "/"SAN "/
+    // "IER " prefixes) — stripping to [A-Z] would make those branches
+    // unreachable and mis-code accented and multi-word names
+    val in = input.toUpperCase(java.util.Locale.ROOT)
+      .replaceAll("[^A-ZÇÑ ]", "").replaceAll(" +", " ").trim
     if (in.isEmpty) return Array("", "")
     val st = new State(in, maxLength)
     st.run()

@@ -290,7 +290,11 @@ object Queries {
       a.join(b, col("vec_id") =!= col("nid"))
         .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("emb_b")))
         .groupBy("vec_id")
-        .agg(max_by(col("nid"), col("cos")).as("nn_id"))
+        // (-cos, nid) min: max cosine, ties to the smallest nid — the same
+        // deterministic tie-break lshTop1/ivfTop1 use (bare max_by keeps
+        // whichever row the partial-aggregate merge visits first, flipping
+        // nn_id across partitionings and against the oracle on tied pairs)
+        .agg(min_by(col("nid"), struct(negate(col("cos")), col("nid"))).as("nn_id"))
         .orderBy("vec_id")
     }),
 
@@ -447,10 +451,6 @@ object Queries {
     // DuckDB oracle reproduces all four match_type classes independently.
     "q37_exact_lineage" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      def headFrac(f: Double) = {
-        val toks = split(col("text"), " ")
-        array_join(slice(toks, lit(1), ceil(size(toks) * f).cast("int")), " ")
-      }
       val aug = docs
         .unionByName(docs.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
@@ -468,12 +468,7 @@ object Queries {
       val survAssign = ConnectedComponents.assign(
         s, survivors.select(col("doc_id").as("id")),
         pairs.select(col("doc_id_l").as("src"), col("doc_id_r").as("dst")))
-      val holdAssign = holdouts
-        .join(survAssign.withColumnRenamed("id", "__sid"),
-          holdouts("master_id") === col("__sid"), "left")
-        .select(col("doc_id").as("id"),
-          coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
-      val assignments = survAssign.unionByName(holdAssign)
+      val assignments = graft.stages.ExactDedup.reattach(survAssign, holdouts, idCol = "doc_id")
       graft.stages.Lineage.clusterRows(assignments, edges,
           holdouts.select(col("doc_id").as("id")), gammaCols = Seq("inter", "level"))
         .select(col("id").as("doc_id"), col("cluster_id"),
@@ -502,10 +497,6 @@ object Queries {
     // arg-max fill).
     "q39_multi_entity" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      def headFrac(f: Double) = {
-        val toks = split(col("text"), " ")
-        array_join(slice(toks, lit(1), ceil(size(toks) * f).cast("int")), " ")
-      }
       val aug = docs
         .unionByName(docs.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
@@ -521,12 +512,7 @@ object Queries {
         val pairs = trigramPairsOf(surv, num, den)
         val sa = ConnectedComponents.assign(s, surv.select(col("doc_id").as("id")),
           pairs.select(col("doc_id_l").as("src"), col("doc_id_r").as("dst")))
-        val ha = hold
-          .join(sa.withColumnRenamed("id", "__sid"),
-            hold("master_id") === col("__sid"), "left")
-          .select(col("doc_id").as("id"),
-            coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
-        sa.unionByName(ha)
+        graft.stages.ExactDedup.reattach(sa, hold, idCol = "doc_id")
       }
       val thresholds = Seq((4, 5), (7, 10), (17, 20)) // J >= 0.8 / 0.7 / 0.85
       val models = thresholds.zipWithIndex.map { case ((num, den), e) =>
@@ -584,6 +570,14 @@ object Queries {
     * identical cap so both engines stay in lockstep if it ever does. */
   private val TrigramDfCap = 100
 
+  /** First `f` fraction of a doc's tokens, re-joined — q37/q39 plant
+    * near-dup (f=0.9) and below-threshold (f=0.76) variants with it,
+    * mirrored token-for-token in the DuckDB oracles. */
+  private def headFrac(f: Double): org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    array_join(slice(toks, lit(1), ceil(size(toks) * f).cast("int")), " ")
+  }
+
   /** Exact token-trigram candidate pairs at Jaccard ≥ 0.8 (integer-exact
     * filter: 5*inter >= 4*union). Shared by q14/q20/q21/q32. */
   private def trigramPairsFull(s: SparkSession, dir: String): DataFrame =
@@ -595,17 +589,23 @@ object Queries {
     * (integer-exact, mirrored in the oracle) the way the reference's five
     * models retune only threshold_match_weight (SURVEY §2.9). */
   private def trigramPairsOf(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
-    val grams = docs
+    // cached (engine-tracked): sizes, hotGrams, and both self-join sides
+    // consume `grams` — without the cache the explode+distinct shuffle
+    // re-executes per consumer (exchange reuse across composed references
+    // is not guaranteed, same rationale as PairGen's big-key probe)
+    val grams = graft.stages.IntermediateCaches.persistTracked(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
         .as("g"))
-      .distinct()
+      .distinct())
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hotGrams = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > TrigramDfCap).select("g")
-    val kept = grams.join(hotGrams, Seq("g"), "left_anti")
+    // also cached: the anti-join output feeds BOTH sides of the self-join
+    val kept = graft.stages.IntermediateCaches.persistTracked(
+      grams.join(hotGrams, Seq("g"), "left_anti"))
     val l = kept.select(col("doc_id").as("doc_id_l"), col("g"))
     val r = kept.select(col("doc_id").as("doc_id_r"), col("g"))
     l.join(r, Seq("g")).filter(col("doc_id_l") < col("doc_id_r"))
@@ -778,11 +778,12 @@ object Queries {
          |  ON p.doc_id_l = c.cluster_id AND p.doc_id_r = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
     "q25_cosine_top1" ->
-      """SELECT vec_id, arg_max(nid, cos) AS nn_id FROM (
+      """SELECT vec_id, nid AS nn_id FROM (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nid,
         |         list_cosine_similarity(a.embedding, b.embedding) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid) = 1
+        |ORDER BY vec_id""".stripMargin,
     "q36_embed_dedup" ->
       """WITH RECURSIVE vpairs AS (
         |  SELECT a.vec_id AS l, b.vec_id AS r FROM embeddings a JOIN embeddings b

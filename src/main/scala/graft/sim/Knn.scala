@@ -109,7 +109,11 @@ object Knn {
       var dot = 0.0
       var j = 0
       while (j < v.length) { dot += p(j) * v(j); j += 1 }
-      dot
+      // monotone long INSIDE the udf (same pattern as embedDedup's
+      // projUdf): Scala .toLong saturates NaN→0, where a DataFrame-level
+      // .cast("long") on a NaN projection throws CAST_OVERFLOW under
+      // Spark 4's default ANSI mode — one corrupt row must not kill the job
+      (dot * (1L << 32).toDouble).toLong
     })
     // cached (engine-tracked): the returned plan references this frame
     // from counts, the cold/singles splits, the hot branch, and the final
@@ -150,7 +154,7 @@ object Knn {
     // partition discipline as the text path's chainPairsRanged)
     val hotRows = bucketed.join(broadcast(hotBuckets), Seq("bucket"), "left_semi")
       .select(col("bucket").as("key"), col("vec_id").as("id"),
-        (projUdf(col("embedding")) * lit((1L << 32).toDouble)).cast("long").as("sort"))
+        projUdf(col("embedding")).as("sort"))
     val hotIdPairs = graft.stages.PairGen.rankedWidthPairs(hotRows, chainWidth)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val hotChain = hotIdPairs

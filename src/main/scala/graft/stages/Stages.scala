@@ -86,6 +86,30 @@ object ExactDedup {
     val survivors = docs.join(holdouts.select(col(idCol)), Seq(idCol), "left_anti")
     (survivors, holdouts)
   }
+
+  /** J4 holdout re-attach (`person_1/dedup_per.sql:118-169` semantics):
+    * every exact-dup holdout inherits its MASTER's cluster assignment, so
+    * transitive chains (holdout → master → near-dup cluster) resolve in
+    * one join. The left-join + coalesce keeps a holdout whose master never
+    * reached assignment (defensive: ids outside `survivorAssign`) in its
+    * own master-rooted cluster instead of dropping it.
+    *
+    * ONE definition for the five call sites (run/runLite/runResumable,
+    * q37, q39) — the re-attach semantics must not drift per path.
+    *
+    * @param survivorAssign (id, cluster_id) for every survivor
+    * @param holdouts frame with (`idCol`, master_id)
+    * @param idCol holdout id column name (q37/q39 pass "doc_id")
+    * @return (id, cluster_id) covering survivors + holdouts */
+  def reattach(survivorAssign: DataFrame, holdouts: DataFrame,
+               idCol: String = "id"): DataFrame = {
+    val ha = holdouts
+      .join(survivorAssign.withColumnRenamed("id", "__sid"),
+        holdouts("master_id") === col("__sid"), "left")
+      .select(holdouts(idCol).as("id"),
+        coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
+    survivorAssign.unionByName(ha)
+  }
 }
 
 /** Signature stage (SURVEY §7.2 module 5): Dataset[doc] → doc + minhash +

@@ -65,10 +65,7 @@ object Profile {
       a.count(); a
     }
     t("reattach+count") {
-      val h = holdouts.join(cc.withColumnRenamed("id", "__sid"),
-        holdouts("master_id") === col("__sid"), "left")
-        .select(col("id"), coalesce(col("cluster_id"), col("master_id")).as("cluster_id"))
-      cc.unionByName(h).agg(countDistinct("cluster_id")).head()
+      ExactDedup.reattach(cc, holdouts).agg(countDistinct("cluster_id")).head()
     }
     // drop every cache except the input so the next pass is a cold
     // end-to-end run of warm code

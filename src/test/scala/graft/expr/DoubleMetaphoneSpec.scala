@@ -40,6 +40,13 @@ class DoubleMetaphoneSpec extends AnyFunSuite {
     assert(dm("123") == ("", ""))
   }
 
+  test("accented letters and multi-word rules are reachable, not stripped") {
+    assert(dm("garçon")._1 == "KRSN")           // Ç → S, not deleted
+    assert(dm("muñoz")._1 == dm("munoz")._1)    // Ñ → N
+    assert(dm("van gogh")._1.startsWith("FN"))  // "VAN " prefix rule fires
+    assert(dm("san jose")._1 == "SNHS")         // "SAN " keeps the Spanish J→H
+  }
+
   test("deterministic") {
     for (n <- Seq("washington", "wheeler", "ghislane", "xavier", "jose", "cabrillo"))
       assert(dm(n) == dm(n))
