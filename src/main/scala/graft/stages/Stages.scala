@@ -87,7 +87,8 @@ object ExactDedup {
     (survivors, holdouts)
   }
 
-  /** J4 holdout re-attach (`person_1/dedup_per.sql:118-169` semantics):
+  /** J4 holdout re-attach (`person_1/link_model_per.py:945-953`: left
+    * merge of exact dups onto cluster assignments + fillna fallback):
     * every exact-dup holdout inherits its MASTER's cluster assignment, so
     * transitive chains (holdout → master → near-dup cluster) resolve in
     * one join. The left-join + coalesce keeps a holdout whose master never
