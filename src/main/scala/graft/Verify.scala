@@ -18,19 +18,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    ran.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
       // pipeline-shaped queries persist intermediates they cannot unpersist
       // (lazy contract); without this, 36 queries accumulate caches and the
       // tail of the run measures eviction churn, not the queries
       spark.sharedState.cacheManager.clearCache()
     }
+    // machine-readable manifest: a failed query writes NO q-dir, so a
+    // directory-globbing comparator would otherwise silently skip it and
+    // read green — the gate must see what was ATTEMPTED, not just what
+    // succeeded (failures also go to stdout, not only the stderr log noise)
+    if (failed.nonEmpty) println(s"[verify] FAILED: ${failed.mkString(",")}")
+    def jarr(xs: Seq[String]): String = xs.map(x => s""""$x"""").mkString("[", ", ", "]")
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"),
+      s"""{"failed": ${jarr(failed.toSeq.sorted)}, "ran": ${jarr(ran.keys.toSeq.sorted)}}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

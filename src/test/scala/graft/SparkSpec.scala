@@ -8,7 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   @transient lazy val spark: SparkSession = SparkSpec.session
 
-  override def afterAll(): Unit = super.afterAll()
+  // engine-tracked caches accumulate across suites on the shared session;
+  // release them so no suite's timing or memory depends on suite order
+  override def afterAll(): Unit = {
+    graft.Pipeline.clearIntermediateCaches(spark)
+    super.afterAll()
+  }
 }
 
 object SparkSpec {

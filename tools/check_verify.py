@@ -31,9 +31,30 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     import glob
+    import os
     failures = 0
-    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
-        name = qdir.split("/")[-1]
+    present = {d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*")}
+    # Reconcile against Verify's manifest: a query that THREW wrote no
+    # q-dir, and a dir-glob alone would silently skip it (gate reads green
+    # on a crashing query). Stale dirs from a reused out_dir are flagged
+    # too — they would be compared as current otherwise.
+    expected = present
+    manifest_path = f"{out_dir}/_manifest.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        expected = set(manifest["ran"])
+        for name in sorted(manifest["failed"]):
+            print(f"[FAIL] {name}: query threw in graft.Verify (no output written)")
+            failures += 1
+        for name in sorted(expected - present - set(manifest["failed"])):
+            print(f"[FAIL] {name}: ran but no output directory present")
+            failures += 1
+        for name in sorted(present - expected):
+            print(f"[FAIL] {name}: stale output dir (not in this run's manifest)")
+            failures += 1
+    for name in sorted(present & expected):
+        qdir = f"{out_dir}/{name}"
         try:
             got = pd.concat([pd.read_parquet(p) for p in
                              sorted(glob.glob(f"{qdir}/*.parquet"))],
@@ -43,7 +64,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows")
+            # engine-native ops DuckDB cannot express: the driver records a
+            # rows-only check — zero rows is still a failure (every query
+            # must produce output on the testdata)
+            if len(got) == 0:
+                print(f"[FAIL] {name}: rows-only query returned 0 rows")
+                failures += 1
+            else:
+                print(f"[rows-only] {name}: {len(got)} rows")
             continue
         try:
             want = con.execute(oracles[name]).df()
@@ -60,13 +88,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL] {name}: rows {len(g)} vs {len(w)}")
             failures += 1
             continue
-        # exact compare with dtype coercion to common types
+        # exact compare, coercing BOTH sides to the PROMOTED common dtype:
+        # downcasting the oracle to Spark's dtype (float64->float32,
+        # int64->int32) would round/wrap the oracle value onto a genuinely
+        # wrong Spark value and print OK for a real mismatch
+        import numpy as np
         mismatch = None
         for c in g.columns:
             a, b = g[c], w[c]
             try:
                 if a.dtype != b.dtype:
-                    b = b.astype(a.dtype)
+                    try:
+                        common = np.promote_types(a.dtype, b.dtype)
+                        a, b = a.astype(common), b.astype(common)
+                    except TypeError:  # non-numeric (object etc.)
+                        b = b.astype(a.dtype)
                 eq = (a == b) | (a.isna() & b.isna())
             except Exception as e:
                 mismatch = f"col {c}: dtype issue {a.dtype} vs {b.dtype}: {e}"
