@@ -17,6 +17,19 @@ class StagesSpec extends SparkSpec {
     assert(h.sameElements(Array((2L, 1L), (3L, 1L))))
   }
 
+  test("ExactDedup.reattach: holdouts inherit the master's cluster; orphans root at master") {
+    // masters 1 and 4 clustered together (cluster 1); holdout 2 -> master 1
+    // inherits cluster 1 TRANSITIVELY; holdout 9 -> master 8 which never
+    // reached assignment (defensive path): roots at its master id, and two
+    // orphans of one absent master land in the SAME cluster
+    val assign = Seq((1L, 1L), (4L, 1L), (5L, 5L)).toDF("id", "cluster_id")
+    val hold = Seq((2L, 1L), (9L, 8L), (10L, 8L)).toDF("id", "master_id")
+    val out = ExactDedup.reattach(assign, hold)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.sameElements(Array(
+      (1L, 1L), (2L, 1L), (4L, 1L), (5L, 5L), (9L, 8L), (10L, 8L))), out.mkString(","))
+  }
+
   test("ExactDedup: splitByHash (24 B/row scale plan) matches the window plan exactly") {
     // includes the null/empty corner: null-text docs must dedup together
     // (window semantics) yet stay distinct from empty-string text
