@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** Sanitation boundary for dirty web-scale embedding tables: keep only
+    * rows whose vector has exactly `dim` components, all finite. Every ANN
+    * entry point already DEGRADES on corrupt rows individually (NaN →
+    * cosine 0.0 / -1 answer, wrong dim → skipped cells) so nothing
+    * crashes, but a pipeline ingesting from an unvetted extractor should
+    * filter once up front instead of paying the degradation per operator —
+    * and keep the rejects for a quarantine table.
+    *
+    * Pure built-in expressions (size + exists + isnan), codegen-friendly,
+    * no UDF; `dim` is explicit because inferring it would cost a driver
+    * action (the same Amdahl tax [[lshTop1]]'s lazy planes removed).
+    *
+    * @return (valid, rejected) — partitions of the input by the predicate */
+  def filterValidEmbeddings(embeddings: DataFrame, dim: Int,
+                            col: String = "embedding"): (DataFrame, DataFrame) = {
+    val c = org.apache.spark.sql.functions.col(col)
+    val bad = c.isNull || size(c) =!= dim ||
+      exists(c, x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    (embeddings.filter(!bad), embeddings.filter(bad))
+  }
+
   /** Signed random hyperplanes → bucket id. Deterministic from cfg.seed. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     Array.tabulate(bits) { b =>

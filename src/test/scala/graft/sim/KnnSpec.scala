@@ -216,6 +216,21 @@ class KnnSpec extends SparkSpec {
     assert(cleanAnswered == 400, s"clean vectors still get neighbours ($cleanAnswered/400)")
   }
 
+  test("filterValidEmbeddings partitions corrupt rows (NaN, Inf, wrong dim, null) exactly") {
+    val rows = Seq(
+      (1L, Array(1f, 2f)), // valid
+      (2L, Array(1f, Float.NaN)), // NaN
+      (3L, Array(1f, Float.PositiveInfinity)), // Inf
+      (4L, Array(1f, 2f, 3f)), // wrong dim
+      (5L, Array.empty[Float]), // empty
+      (6L, null.asInstanceOf[Array[Float]]), // null
+      (7L, Array(-0f, 3.5f))) // valid
+      .toDF("vec_id", "embedding")
+    val (ok, bad) = Knn.filterValidEmbeddings(rows, dim = 2)
+    assert(ok.select("vec_id").as[Long].collect().sorted.sameElements(Array(1L, 7L)))
+    assert(bad.select("vec_id").as[Long].collect().sorted.sameElements(Array(2L, 3L, 4L, 5L, 6L)))
+  }
+
   test("cosine_sim degrades mismatched or zero-dim vectors to 0.0 instead of throwing") {
     graft.expr.GraftFunctions.register(spark)
     val df = Seq(
