@@ -102,7 +102,7 @@ object Bench {
     // Headline-query caches are dropped BEFORE rep 1 so every rep runs
     // under the same memory conditions.
     spark.sharedState.cacheManager.clearCache()
-    val corpus = Corpus.generate(spark, benchDocs)
+    val corpus = Corpus.generate(spark, benchDocs, includeHtml = false)
       .select("id", "url", "warc_ts", "text", "lang").persist()
     corpus.count()
     var repSecs = List.empty[Double]

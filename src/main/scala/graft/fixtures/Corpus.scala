@@ -66,7 +66,16 @@ object Corpus {
     Array.tabulate(len)(i => pick(lang, mix64(gk ^ (i * 0x632BE59BD9B4E019L))))
   }
 
-  def rowFor(n: Long): CorpusRow = {
+  def rowFor(n: Long): CorpusRow = rowFor(n, includeHtml = true)
+
+  /** @param includeHtml build the html byte column (entity-encode + UTF-8
+    *        of the full text — the most expensive part of a row). Only the
+    *        extractor byte-identity test reads it; benches and probes pass
+    *        false because `.select(...)` column pruning cannot reach
+    *        inside this typed map lambda, so they would otherwise pay the
+    *        encode per row on every corpus materialization. Text/planting
+    *        generation is IDENTICAL either way. */
+  def rowFor(n: Long, includeHtml: Boolean): CorpusRow = {
     val group = n / GroupSize
     val p = (n % GroupSize).toInt
     val gh = mix64(group)
@@ -147,8 +156,11 @@ object Corpus {
       }
 
     val site = Math.floorMod(mix64(n ^ 0x517EL), 100).toInt
-    val html = ("<html><body>" + TextExtract.encodeEntities(text) + "</body></html>")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val html =
+      if (includeHtml)
+        ("<html><body>" + TextExtract.encodeEntities(text) + "</body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else Array.emptyByteArray
     CorpusRow(
       id = n,
       url = s"https://site$site.example/p/$n",
@@ -164,9 +176,10 @@ object Corpus {
   val boilerplate: String =
     Array.tabulate(30)(i => pick("en", mix64(0xB011E4L + i))).mkString(" ")
 
-  def generate(spark: SparkSession, nRows: Long): DataFrame = {
+  def generate(spark: SparkSession, nRows: Long,
+               includeHtml: Boolean = true): DataFrame = {
     import spark.implicits._
-    spark.range(nRows).map(n => rowFor(n)).toDF()
+    spark.range(nRows).map(n => rowFor(n, includeHtml)).toDF()
   }
 
   /** Ground-truth duplicate pairs (all pairs within a truth cluster). */

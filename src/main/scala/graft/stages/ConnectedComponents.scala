@@ -96,12 +96,7 @@ object ConnectedComponents {
     // final converged star graph — the returned assignments are lazy over
     // it, so run() itself must not unpersist it. Superseded iterations are
     // unpersisted in-loop (the tracked double-release is a no-op).
-    var e = IntermediateCaches.persistTracked(
-      edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .filter(col("src") =!= col("dst"))
-        .select(least($"src", $"dst").as("dst"), greatest($"src", $"dst").as("src"))
-        .select("src", "dst") // src > dst, canonical
-        .distinct())
+    var e = IntermediateCaches.persistTracked(canonicalEdges(edges))
 
     var converged = false
     var iter = 0
@@ -220,6 +215,19 @@ object ConnectedComponents {
     * large-star's first round breaks giant stars apart, so high-degree
     * nodes shrink by round, and a spilled O(deg) buffer beats re-executing
     * every upstream shuffle. */
+  /** Canonical self-loop-free edge set the star loop runs over: long-cast,
+    * src > dst (least as `dst`, greatest as `src` — the star rounds orient
+    * edges pointing DOWN to the smaller id), distinct. ONE definition so
+    * tools that dump/replay the loop's plan (CcBench explain mode) can
+    * never drift from what run() actually executes. */
+  private[graft] def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("dst"),
+              greatest(col("src"), col("dst")).as("src"))
+      .select("src", "dst")
+      .distinct()
+
   private[graft] def starRound(cur: DataFrame): DataFrame = {
     val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     // large-star: for each node u, m = min(Γ(u) ∪ {u}); connect every

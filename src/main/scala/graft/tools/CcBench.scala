@@ -65,12 +65,7 @@ object CcBench {
     // the loop builds it over the cached canonical edges) to eyeball
     // exchange reuse, then exit without running CC
     if (sys.env.get("GRAFT_CC_EXPLAIN").contains("1")) {
-      val e = edges
-        .select($"src".cast("long"), $"dst".cast("long"))
-        .filter($"src" =!= $"dst")
-        .select(org.apache.spark.sql.functions.least($"src", $"dst").as("dst"),
-                org.apache.spark.sql.functions.greatest($"src", $"dst").as("src"))
-        .select("src", "dst").distinct().persist()
+      val e = ConnectedComponents.canonicalEdges(edges).persist()
       e.count()
       ConnectedComponents.doubleStarRound(e).explain("formatted")
       spark.stop(); return

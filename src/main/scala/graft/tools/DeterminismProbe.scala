@@ -16,7 +16,7 @@ object DeterminismProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = Corpus.generate(spark, n).select("id", "url", "warc_ts", "text", "lang")
+    val corpus = Corpus.generate(spark, n, includeHtml = false).select("id", "url", "warc_ts", "text", "lang")
     val res = Pipeline.run(spark, corpus)
     val row = res.assignments
       .agg(count(lit(1)),

@@ -36,7 +36,7 @@ object Profile {
       println(f"[stage] pass $pass $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val corpus0 = Corpus.generate(spark, n).select("id", "text").persist()
+    val corpus0 = Corpus.generate(spark, n, includeHtml = false).select("id", "text").persist()
     corpus0.count()
     while (pass <= passes) {
     val corpus = corpus0
@@ -68,9 +68,12 @@ object Profile {
       ExactDedup.reattach(cc, holdouts).agg(countDistinct("cluster_id")).head()
     }
     // drop every cache except the input so the next pass is a cold
-    // end-to-end run of warm code
-    spark.sharedState.cacheManager.clearCache()
-    corpus0.persist(); corpus0.count()
+    // end-to-end run of warm code (skipped after the FINAL pass — the
+    // re-persist + count would regenerate the whole corpus for nothing)
+    if (pass < passes) {
+      spark.sharedState.cacheManager.clearCache()
+      corpus0.persist(); corpus0.count()
+    }
     pass += 1
     }
     spark.stop()

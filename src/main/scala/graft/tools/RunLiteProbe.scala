@@ -48,7 +48,7 @@ object RunLiteProbe {
       val s = new StageStats; spark.sparkContext.addSparkListener(s); Some(s)
     } else None
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = Corpus.generate(spark, docs)
+    val corpus = Corpus.generate(spark, docs, includeHtml = false)
       .select("id", "url", "warc_ts", "text", "lang").persist()
     corpus.count()
     val t0 = System.nanoTime()

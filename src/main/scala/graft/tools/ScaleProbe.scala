@@ -28,7 +28,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 5000000L
     val cores = sys.env.getOrElse("GRAFT_CORES", "16").toInt
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * 4).toString)
       .config("spark.ui.enabled", "false")
@@ -39,6 +39,10 @@ object ScaleProbe {
       // to work. Real clusters set exactly these for heavy executors.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
+    // the probe with the LARGEST shuffles honors the same scratch-dir
+    // override as Bench/Profile/ScalingBench (SPARK_GRAFT_LOCAL_DIR)
+    val spark = graft.Bench.localDir
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
@@ -52,7 +56,7 @@ object ScaleProbe {
       .foldLeft(EngineConfig.default)((c, m) => c.copy(ccFastPathMaxEdges = m))
     val runE2e = sys.env.getOrElse("GRAFT_SCALE_E2E", "1") != "0"
 
-    val corpus = Corpus.generate(spark, n).select("id", "text").persist()
+    val corpus = Corpus.generate(spark, n, includeHtml = false).select("id", "text").persist()
     val total = corpus.count()
     println(s"[scale] corpus $total docs, $cores cores")
 

@@ -25,7 +25,7 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = Corpus.generate(spark, docs)
+    val corpus = Corpus.generate(spark, docs, includeHtml = false)
       .select("id", "url", "warc_ts", "text", "lang").persist()
     corpus.count()
     val t0 = System.nanoTime()
@@ -77,14 +77,28 @@ object ScalingBench {
     * 4N real executors bring 4N× memory channels. Reported alongside the
     * ALU ratio so the efficiency can be read against both ceilings. */
   private def streamCapacity(threads: Int, millis: Long = 1500L): Long = {
-    val words = (64L << 20) / 8
-    val arrays = Array.fill(threads)(new Array[Long](words.toInt))
-    arrays.foreach { a => var i = 0; while (i < a.length) { a(i) = i.toLong; i += 1 } }
+    // per-thread buffer: 64 MB (beyond any cache level) scaled DOWN if
+    // threads×64 MB would not fit in half the heap — the fixed 2 GB live
+    // set at threads=32 could OOM a heap sized for the Spark runs AFTER
+    // both timings had completed, losing the whole A/B result. The 8 MB
+    // floor keeps the AGGREGATE working set (threads×8 MB ≥ 256 MB at the
+    // sizes that trigger scaling) several times any shared LLC, which is
+    // what an aggregate-bandwidth measurement needs.
+    val budget = Runtime.getRuntime.maxMemory / 2
+    val perThreadBytes = math.max(8L << 20, math.min(64L << 20, budget / threads))
+    val words = perThreadBytes / 8
     val counters = new java.util.concurrent.atomic.AtomicLongArray(threads)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // start the timed window only after EVERY thread has allocated and
+    // initialized its own buffer (no thread sweeps while another still
+    // pays page-in cost)
+    val ready = new java.util.concurrent.CyclicBarrier(threads + 1)
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
-        val a = arrays(t)
+        val a = new Array[Long](words.toInt)
+        var init = 0
+        while (init < a.length) { a(init) = init.toLong; init += 1 }
+        ready.await()
         var sweeps = 0L
         var acc = 0L
         while (!stop.get()) {
@@ -96,6 +110,7 @@ object ScalingBench {
       })
       th.setDaemon(true); th.start(); th
     }
+    ready.await() // release the threads together, then time
     Thread.sleep(millis)
     stop.set(true)
     ts.foreach(_.join())

@@ -18,7 +18,7 @@ object Smoke {
     spark.sparkContext.setCheckpointDir("/tmp/graft-ckpt")
 
     val n = if (args.nonEmpty) args(0).toLong else 2000L
-    val corpus = Corpus.generate(spark, n).persist()
+    val corpus = Corpus.generate(spark, n, includeHtml = false).persist()
     println(s"corpus: ${corpus.count()} rows; kinds:")
     corpus.groupBy("kind").count().orderBy("kind").show(20, false)
 

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *   1. winnow kernel (withFps materialize)
   *   2. fingerprint explode + PairGen.pairs (the wide shuffle)
   *   3. shared-count + ratio verify
-  * Optional arg2 = objectHashAggregate fallback threshold to set before
-  * phase 2 (0 = leave default 128), so the ObjectAgg-vs-sort-fallback
-  * question is answered inside one process. */
+  * Optional arg2 = interleaved rep count (default 2); each rep times
+  * phase 2 at BOTH objectHashAggregate fallback thresholds (128 and an
+  * effectively-disabled 20M), so the ObjectAgg-vs-sort-fallback question
+  * is answered inside one process. */
 object SubstringProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
@@ -28,7 +29,7 @@ object SubstringProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
     val cfg = EngineConfig.default
-    val docs = Corpus.generate(spark, n).select("id", "text").persist()
+    val docs = Corpus.generate(spark, n, includeHtml = false).select("id", "text").persist()
     docs.count()
 
     def time(name: String)(f: => Long): Unit = {

@@ -27,7 +27,7 @@ object WinnowProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
-    val corpus = Corpus.generate(spark, n).persist()
+    val corpus = Corpus.generate(spark, n, includeHtml = false).persist()
     val docs = corpus.select("id", "text")
     val truth = corpus.filter(col("kind") === "substring")
       .select(col("truth_cluster").as("src"), col("id").as("dst")).persist()
