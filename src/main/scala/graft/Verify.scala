@@ -18,6 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // drop any previous run's manifest FIRST: if this JVM dies mid-run into
+    // a reused outDir, a stale manifest must not pair with the fresh partial
+    // output dirs and masquerade as a completed run — a missing manifest is
+    // the unambiguous crash signal for the comparator
+    Files.deleteIfExists(Paths.get(s"$outDir/_manifest.json"))
     val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -40,7 +45,7 @@ object Verify {
     if (failed.nonEmpty) println(s"[verify] FAILED: ${failed.mkString(",")}")
     def jarr(xs: Seq[String]): String = xs.map(x => s""""$x"""").mkString("[", ", ", "]")
     Files.writeString(Paths.get(s"$outDir/_manifest.json"),
-      s"""{"failed": ${jarr(failed.toSeq.sorted)}, "ran": ${jarr(ran.keys.toSeq.sorted)}}""")
+      s"""{"failed": ${jarr(failed.toSeq.sorted)}, "ran": ${jarr(ran.keys.toSeq.sorted)}, "filtered": ${only.isDefined}}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -58,13 +58,21 @@ object Knn {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
   // bound for long-lived executors serving many (dim, bits, seed) configs
   // (per-tenant seeds): each entry is dim×bits×8 B and would otherwise
-  // accumulate for the JVM lifetime. Planes are cheap, deterministic pure
-  // functions, so wholesale clear beats LRU bookkeeping on a hot path.
+  // accumulate for the JVM lifetime. planesFor runs PER ROW in the bucket
+  // UDF, so the hit path must stay lock-free (plain CHM get); at the bound
+  // we evict ONE arbitrary entry — a wholesale clear() would thrash every
+  // hot config the moment a 65th appears, recomputing planes per row batch
+  // (planes are pure, so correctness is unaffected either way).
   private val PlaneCacheMaxEntries = 64
   private def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
-    if (planeCache.size > PlaneCacheMaxEntries) planeCache.clear()
-    planeCache.computeIfAbsent((dim, bits, seed),
-      _ => hyperplanes(dim, bits, seed))
+    val k = (dim, bits, seed)
+    val hit = planeCache.get(k)
+    if (hit != null) return hit
+    if (planeCache.size >= PlaneCacheMaxEntries) {
+      val it = planeCache.keySet.iterator
+      if (it.hasNext) planeCache.remove(it.next())
+    }
+    planeCache.computeIfAbsent(k, _ => hyperplanes(dim, bits, seed))
   }
 
   /** LSH-bucketed top-1 neighbour: bucket by hyperplane sign bits, compare

@@ -105,9 +105,17 @@ object Golden {
       val u = udf((k: Long) => rangeOfLong(minsB.value, k))
       when(col(keyCol).isNull, lit(0)).otherwise(u(col(keyCol).cast("long")))
     } else {
-      val mins = stats.map(r => if (r.isNullAt(1)) null else r.getString(1))
+      // Spark sorts strings as unsigned UTF-8 bytes (UTF8String binary
+      // order); Java String.compareTo is UTF-16 code-unit order. The two
+      // disagree for supplementary-plane characters (U+FFFF sorts below
+      // U+1F600 in UTF-8 but above it in UTF-16), so the driver-side
+      // binary search MUST compare the same way the range exchange
+      // sorted, or a key near a range boundary routes to the wrong range.
+      val mins = stats.map(r => if (r.isNullAt(1)) null
+        else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val minsB = spark.sparkContext.broadcast(mins)
-      val u = udf((k: String) => rangeOfString(minsB.value, k))
+      val u = udf((k: String) => rangeOfString(minsB.value,
+        k.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       when(col(keyCol).isNull, lit(0)).otherwise(u(col(keyCol)))
     }
     val rankW = Window.partitionBy("__pid").orderBy(col(keyCol).asc_nulls_first)
@@ -132,14 +140,27 @@ object Golden {
     ans
   }
 
-  private def rangeOfString(mins: Array[String], k: String): Int = {
+  private def rangeOfString(mins: Array[Array[Byte]], k: Array[Byte]): Int = {
     var lo = 0; var hi = mins.length - 1; var ans = 0
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (mins(mid) == null || mins(mid).compareTo(k) <= 0) { ans = mid; lo = mid + 1 }
+      if (mins(mid) == null || utf8Compare(mins(mid), k) <= 0) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
     ans
+  }
+
+  // unsigned byte-wise lexicographic compare — identical to Spark's
+  // UTF8String.compareTo, the order repartitionByRange sorted the keys in
+  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Case-restore update-join (J6 variant,

@@ -143,7 +143,14 @@ object StreamingDedup {
       }.toDF()
   }
 
-  final case class UrlState(firstTs: Long, lastTs: Long, count: Long) // epoch ms
+  // STATE SCHEMA v2 (epoch ms). v1 had no lastTs and ran under NoTimeout;
+  // adding the field + switching to EventTimeTimeout changes the state
+  // encoder, so a structured-streaming checkpoint written by v1 is
+  // UNREADABLE by this operator — deployed streams must restart from a new
+  // checkpoint location (state rebuilds from the source within the
+  // watermark horizon). Any future field change carries the same cost:
+  // bump this version note and plan a checkpoint migration.
+  final case class UrlState(firstTs: Long, lastTs: Long, count: Long)
   final case class UrlUpdate(url: String, firstTs: Long, count: Long)
 
   /** Custom stateful op (mapGroupsWithState): per-url recrawl counter with

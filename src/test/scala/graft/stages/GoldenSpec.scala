@@ -112,6 +112,29 @@ class GoldenSpec extends SparkSpec {
     graft.Pipeline.clearIntermediateCaches(spark)
   }
 
+  test("denseIds: supplementary-plane string keys route by UTF-8 byte order " +
+      "(UTF8String parity, not UTF-16 compareTo)") {
+    // U+FFFF (one BMP code unit, UTF-8 EF BF BF) vs U+1F600 (surrogate pair,
+    // UTF-8 F0 9F 98 80): UTF-8 sorts U+FFFF < U+1F600, Java UTF-16
+    // compareTo sorts them the OTHER way round (￿ > \uD83D). With many
+    // keys straddling range boundaries built from such strings, a
+    // compareTo-based driver search mis-routes keys → duplicate/gapped ids.
+    val emoji = new String(Character.toChars(0x1F600))
+    val keys: Seq[String] = (0 until 2000).flatMap { i =>
+      Seq(f"k$i%04d￿a", f"k$i%04d${emoji}b", f"k$i%04d-plain")
+    }
+    val shuffled = new scala.util.Random(7).shuffle(keys)
+    val out = Golden.denseIds(spark, shuffled.toDF("s"), "s", 0L, partitions = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // expected order = Spark's own: sort the keys with Spark and rank
+    val expected = keys.toDF("s").distinct().orderBy("s")
+      .collect().map(_.getString(0)).zipWithIndex.map { case (k, i) => (k, i + 1L) }.toMap
+    assert(out.size == expected.size)
+    val bad = expected.collect { case (k, v) if out(k) != v => (k, out(k), v) }
+    assert(bad.isEmpty, s"mis-ranked keys (first 5): ${bad.take(5).mkString(", ")}")
+    graft.Pipeline.clearIntermediateCaches(spark)
+  }
+
   test("denseIds: unsupported key type fails loudly") {
     val masters = Seq(1.5, 2.5).toDF("k")
     val ex = intercept[IllegalArgumentException](

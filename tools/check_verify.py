@@ -50,9 +50,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         for name in sorted(expected - present - set(manifest["failed"])):
             print(f"[FAIL] {name}: ran but no output directory present")
             failures += 1
-        for name in sorted(present - expected):
-            print(f"[FAIL] {name}: stale output dir (not in this run's manifest)")
-            failures += 1
+        # A filtered dev run records only its subset in "ran"; output dirs
+        # from an earlier full run in the same out_dir are then expected,
+        # not stale — only an UNFILTERED run asserts the full inventory.
+        if not manifest.get("filtered", False):
+            for name in sorted(present - expected):
+                print(f"[FAIL] {name}: stale output dir (not in this run's manifest)")
+                failures += 1
     for name in sorted(present & expected):
         qdir = f"{out_dir}/{name}"
         try:
