@@ -91,12 +91,11 @@ object Pipeline {
     val lineage = Lineage.clusterRows(
       assignments, scoredDirect.unionByName(subDirect), holdouts.select("id"))
 
-    val metrics = stageMetrics(spark, Map(
-      "input_docs" -> input.count(),
-      "exact_holdouts" -> holdouts.count(),
-      "candidate_pairs" -> candidates.count(),
-      "edges" -> allEdges.count(),
-      "clusters" -> assignments.agg(countDistinct("cluster_id")).head().getLong(0)))
+    val counters = pipelineCounters(input, holdouts, candidates, allEdges, assignments)
+    // telemetry AFTER the action (the bounded collects fire while the
+    // metrics job materializes CC + PairGen): observed headroom of every
+    // driver-side bound rides the same table an operator already watches
+    val metrics = stageMetrics(spark, counters ++ ScaleStats.snapshot())
 
     Result(assignments, scored.filter(col("level") >= 1), lineage, metrics)
   }
@@ -226,6 +225,37 @@ object Pipeline {
             .otherwise(col("id")))
         .drop("__clash")
     }
+  }
+
+  /** All five pipeline counters in ONE action (the old form ran five
+    * serial driver actions — an Amdahl tax on every lineage-bearing
+    * invocation): tag each frame, count per (metric, key) with map-side
+    * partial agg, then per metric either sum the counts (plain row counts,
+    * key = null) or count the groups (distinct cluster ids — countDistinct
+    * without the expand a combined count+countDistinct agg would plan).
+    * Two tiny hash-agg exchanges; every input is persisted upstream. */
+  private[graft] def pipelineCounters(input: DataFrame, holdouts: DataFrame,
+      candidates: DataFrame, allEdges: DataFrame,
+      assignments: DataFrame): Map[String, Long] = {
+    def tag(df: DataFrame, name: String, key: org.apache.spark.sql.Column) =
+      df.select(lit(name).as("metric"), key.cast("long").as("__key"))
+    val nullKey = lit(null).cast("long")
+    val counted = tag(input, "input_docs", nullKey)
+      .unionByName(tag(holdouts, "exact_holdouts", nullKey))
+      .unionByName(tag(candidates, "candidate_pairs", nullKey))
+      .unionByName(tag(allEdges, "edges", nullKey))
+      .unionByName(tag(assignments, "clusters", col("cluster_id")))
+      .groupBy("metric", "__key").agg(count(lit(1)).as("__c"))
+      .groupBy("metric").agg(sum("__c").as("__total"), count(lit(1)).as("__groups"))
+      .select(col("metric"),
+        when(col("metric") === "clusters", col("__groups"))
+          .otherwise(col("__total")).as("value"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // empty frames produce no group — restore the explicit 0 the five
+    // separate count() actions used to report
+    Seq("input_docs", "exact_holdouts", "candidate_pairs",
+      "edges", "clusters").map(k => k -> counted.getOrElse(k, 0L)).toMap
   }
 
   private def stageMetrics(spark: SparkSession, m: Map[String, Long]): DataFrame = {

@@ -92,4 +92,52 @@ class PipelineSpec extends SparkSpec {
     assert(result.assignments.count() == N)
     assert(result.assignments.select("id").distinct().count() == N)
   }
+
+  test("metrics: five counters computed in ONE action, values = per-frame truth") {
+    val input = spark.range(0, 100).toDF("id").persist()
+    val holdouts = spark.range(0, 7).toDF("id").persist()
+    val cands = spark.range(0, 33).toDF("p").persist()
+    val edges = spark.range(0, 21).toDF("e").persist()
+    val assigns = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("id", "cluster_id").persist()
+    Seq(input, holdouts, cands, edges, assigns).foreach(_.count()) // materialize
+    // count driver ACTIONS (SQL executions), not Spark jobs: AQE legally
+    // splits one action into a job per shuffle stage. The defect being
+    // pinned was five serial actions; the fix is exactly one.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val m = Pipeline.pipelineCounters(input, holdouts, cands, edges, assigns)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (actions.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(500)
+      m
+    } finally spark.listenerManager.unregister(listener)
+    assert(actions.get() == 1, s"counters ran ${actions.get()} actions, expected 1")
+    assert(got == Map("input_docs" -> 100L, "exact_holdouts" -> 7L,
+      "candidate_pairs" -> 33L, "edges" -> 21L, "clusters" -> 3L))
+    Seq(input, holdouts, cands, edges, assigns).foreach(_.unpersist())
+  }
+
+  test("metrics: ScaleStats telemetry rows ride the metrics table with limits") {
+    val m = result.metrics.as[(String, Long)].collect().toMap
+    // counter rows (values match the corpus run)
+    assert(m("input_docs") == N)
+    assert(m("clusters") > 0 && m("clusters") <= N)
+    // telemetry rows: observed value AND its limit, so an operator watching
+    // the table sees headroom shrinking before a bound trips
+    for (k <- Seq("pairgen_max_big_keys_collected", "pairgen_broadcast_key_limit",
+        "pairgen_windowed_fallbacks", "cc_max_driver_edges",
+        "cc_driver_fast_path_limit", "cc_driver_runs", "cc_distributed_runs"))
+      assert(m.contains(k), s"missing telemetry row $k in metrics: ${m.keys}")
+    // this run resolved CC somewhere — one of the two paths must have fired
+    assert(m("cc_driver_runs") + m("cc_distributed_runs") >= 1)
+  }
 }
