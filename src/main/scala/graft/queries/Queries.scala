@@ -559,6 +559,27 @@ object Queries {
         .select(col("id_l").as("doc_id_l"), col("id_r").as("doc_id_r"),
           col("jaccard_est"), col("level"))
         .orderBy("doc_id_l", "doc_id_r")
+    }),
+
+    // invariant gate over the REAL LSH pipeline output ([[graft.stages
+    // .Invariants]]): DuckDB cannot run minhash, but it CAN compute what
+    // the output must satisfy — identical texts co-cluster (exact-dup
+    // closure in SQL), cluster_id = min member, one assignment per doc.
+    // Exact dups are PLANTED (q37-style +10M copies of doc_id % 20 == 0)
+    // so the co-cluster check has real pairs to verify: the engine runs
+    // runLite (exact pre-pass → LSH → CC → re-attach) and counts; the
+    // oracle computes the same totals from the same parquet. Any split
+    // exact pair, mis-rooted cluster, or dropped/duplicated doc breaks
+    // the value match (InvariantsSpec proves each counter trips).
+    "q41_pipeline_invariants" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select(col("doc_id").as("id"), col("text"))
+      val assigns = graft.Pipeline.runLite(s, aug, cfg)
+      graft.stages.Invariants.dedupInvariants(aug, assigns)
+        .orderBy("invariant")
     })
   )
 
@@ -906,6 +927,23 @@ object Queries {
         |SELECT 'source', count(DISTINCT source), count(source), count(*) FROM documents
         |UNION ALL
         |SELECT 'text', count(DISTINCT text), count(text), count(*) FROM documents
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    // the oracle's co-clustered value is the total itself: the exact-text
+    // closure REQUIRES every identical-text pair co-clustered, and the
+    // three violation counters are required 0 — the engine side reports
+    // what the real pipeline DID, so any defect breaks the value match
+    "q41_pipeline_invariants" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 20 = 0),
+        |g AS (SELECT text, count(*) AS n FROM aug GROUP BY text),
+        |p AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs FROM g)
+        |SELECT 'clusters_id_ne_min_member' AS invariant, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'docs_missing_assignment', CAST(0 AS BIGINT) FROM p
+        |UNION ALL SELECT 'docs_multiply_assigned', CAST(0 AS BIGINT) FROM p
+        |UNION ALL SELECT 'identical_text_pairs_co_clustered', pairs FROM p
+        |UNION ALL SELECT 'identical_text_pairs_total', pairs FROM p
+        |ORDER BY invariant""".stripMargin
   )
 }
