@@ -71,10 +71,19 @@ object ScaleProbe {
     // Stage-by-stage with caches released as soon as their consumers have
     // materialized (the fused pipeline never holds everything at once — a
     // probe that does would be measuring its own memory pressure, which is
-    // exactly what killed the first 5M run).
+    // exactly what killed the first 5M run). Stage OUTPUTS are
+    // localCheckpoint()ed, not merely persisted: a persisted frame still
+    // references every upstream shuffle through its plan lineage, so at
+    // 17M+ docs the dead shuffle files (the score_verify re-shingle joins
+    // alone are tens of GB) accumulate on local disk for the whole run and
+    // fill the box — the 20M probe died twice to exactly that. Truncating
+    // lineage at each boundary makes upstream shuffles GC-able, and
+    // spark.cleaner.periodicGC (set via SPARK_DRIVER_OPTS on big runs)
+    // reaps them mid-run — the local-mode analog of what runResumable's
+    // snapshot commits do on a real cluster.
     val (survivors0, holdouts) = ExactDedup.splitByHash(corpus, persistHoldouts = true)
-    val survivors = IntermediateCaches.persistTracked(survivors0)
-    val nSurv = timed("exact_dedup") { survivors.count() }
+    val survivors = timed("exact_dedup") { survivors0.localCheckpoint() }
+    val nSurv = survivors.count()
     val nHold = holdouts.count()
     corpus.unpersist()
     val sigs = IntermediateCaches.persistTracked(
@@ -82,14 +91,15 @@ object ScaleProbe {
     timed("signatures") { sigs.count() }
     val candidates = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
     val nCand = timed("lsh_pairgen") { candidates.count() }
-    val scored = IntermediateCaches.persistTracked(
-      Scoring.exactVerify(Scoring.score(candidates, sigs, cfg), survivors, cfg))
-    val simEdges = IntermediateCaches.persistTracked(Scoring.edges(scored))
-    val nSim = timed("score_verify") { simEdges.count() }
-    candidates.unpersist(); scored.unpersist(); sigs.unpersist()
-    val subEdges = IntermediateCaches.persistTracked(
-      Substring.edges(survivors, cfg).select("src", "dst"))
-    val nSub = timed("substring") { subEdges.count() }
+    val scored = Scoring.exactVerify(Scoring.score(candidates, sigs, cfg), survivors, cfg)
+    val simEdges = timed("score_verify") { Scoring.edges(scored).localCheckpoint() }
+    val nSim = simEdges.count()
+    candidates.unpersist(); sigs.unpersist()
+    val subEdges = timed("substring") {
+      Substring.edges(survivors, cfg).select("src", "dst").localCheckpoint()
+    }
+    val nSub = subEdges.count()
+    graft.Pipeline.clearIntermediateCaches(spark) // winnow fps + pair caches
     // CC only needs the id column — keep the 8 B/row slice cached so
     // dropping the (id, text) cache doesn't force a corpus recompute
     val survivorIds = survivors.select("id").persist()
