@@ -76,11 +76,12 @@ object ScaleProbe {
     // references every upstream shuffle through its plan lineage, so at
     // 17M+ docs the dead shuffle files (the score_verify re-shingle joins
     // alone are tens of GB) accumulate on local disk for the whole run and
-    // fill the box — the 20M probe died twice to exactly that. Truncating
-    // lineage at each boundary makes upstream shuffles GC-able, and
-    // spark.cleaner.periodicGC (set via SPARK_DRIVER_OPTS on big runs)
-    // reaps them mid-run — the local-mode analog of what runResumable's
-    // snapshot commits do on a real cluster.
+    // fill the box — the 20M probe died twice to exactly that. Dead frames
+    // are SCOPED so their shuffle dependencies become unreachable, and an
+    // explicit System.gc() at each boundary (all frames fully materialized,
+    // nothing in flight) lets ContextCleaner delete the files then —
+    // deterministic, unlike spark.cleaner.periodicGC, whose arbitrary
+    // firing raced a lazily-spilled cache recompute in an earlier attempt.
     val (survivors0, holdouts) = ExactDedup.splitByHash(corpus, persistHoldouts = true)
     val survivors = timed("exact_dedup") { survivors0.localCheckpoint() }
     val nSurv = survivors.count()
@@ -89,17 +90,26 @@ object ScaleProbe {
     val sigs = IntermediateCaches.persistTracked(
       Signatures.withSignatures(survivors, cfg).select("id", "minhash", "simhash"))
     timed("signatures") { sigs.count() }
-    val candidates = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
-    val nCand = timed("lsh_pairgen") { candidates.count() }
-    val scored = Scoring.exactVerify(Scoring.score(candidates, sigs, cfg), survivors, cfg)
-    val simEdges = timed("score_verify") { Scoring.edges(scored).localCheckpoint() }
-    val nSim = simEdges.count()
-    candidates.unpersist(); sigs.unpersist()
+    val (nCand, simEdges, nSim) = {
+      val candidates = IntermediateCaches.persistTracked(Blocking.candidatePairs(sigs, cfg))
+      val nc = timed("lsh_pairgen") { candidates.count() }
+      val se = timed("score_verify") {
+        // scored scoped here: after the checkpoint below, nothing
+        // reachable references the verify joins' shuffles
+        val scored = Scoring.exactVerify(Scoring.score(candidates, sigs, cfg), survivors, cfg)
+        Scoring.edges(scored).localCheckpoint()
+      }
+      candidates.unpersist()
+      (nc, se, se.count())
+    }
+    sigs.unpersist()
+    System.gc() // reap the dead pairgen + verify shuffle files now
     val subEdges = timed("substring") {
       Substring.edges(survivors, cfg).select("src", "dst").localCheckpoint()
     }
     val nSub = subEdges.count()
     graft.Pipeline.clearIntermediateCaches(spark) // winnow fps + pair caches
+    System.gc() // reap the winnow shuffles before CC
     // CC only needs the id column — keep the 8 B/row slice cached so
     // dropping the (id, text) cache doesn't force a corpus recompute
     val survivorIds = survivors.select("id").persist()
