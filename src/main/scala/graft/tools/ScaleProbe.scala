@@ -82,8 +82,14 @@ object ScaleProbe {
     // nothing in flight) lets ContextCleaner delete the files then —
     // deterministic, unlike spark.cleaner.periodicGC, whose arbitrary
     // firing raced a lazily-spilled cache recompute in an earlier attempt.
+    // survivors (full-width, ~1.5 KB/row) checkpoints DISK_ONLY: at 17M
+    // docs the default MEMORY_AND_DISK level fights the anti-join's
+    // execution memory for the whole heap and OOMs — the narrow
+    // downstream scans read it back sequentially anyway
     val (survivors0, holdouts) = ExactDedup.splitByHash(corpus, persistHoldouts = true)
-    val survivors = timed("exact_dedup") { survivors0.localCheckpoint() }
+    val survivors = timed("exact_dedup") {
+      survivors0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
     val nSurv = survivors.count()
     val nHold = holdouts.count()
     corpus.unpersist()
