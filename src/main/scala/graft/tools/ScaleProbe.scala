@@ -39,6 +39,19 @@ object ScaleProbe {
       // to work. Real clusters set exactly these for heavy executors.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
+      // The scoring/verify joins pair the CANDIDATE side (~40 MB at 17M
+      // docs) against the signature table (~18 GB) and the re-shingled
+      // touched docs (~26 GB): under the default 10 MB threshold both
+      // joins shuffle the BIG side — ~60 GB of shuffle files this sandbox
+      // (79 GB usable disk, shared with the checkpoints) cannot hold.
+      // Broadcasting the small side is the plan a cluster operator tunes
+      // for at this ratio; at the 10^12-doc ceiling, where candidates
+      // outgrow executor memory, the default shuffle plan returns — and
+      // per-executor disks hold it (the thing this one-disk box cannot).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("GRAFT_SCALE_BCAST", "256m"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("GRAFT_SCALE_BCAST", "256m"))
     // the probe with the LARGEST shuffles honors the same scratch-dir
     // override as Bench/Profile/ScalingBench (SPARK_GRAFT_LOCAL_DIR)
     val spark = graft.Bench.localDir
