@@ -52,6 +52,12 @@ object ScaleProbe {
         sys.env.getOrElse("GRAFT_SCALE_BCAST", "256m"))
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("GRAFT_SCALE_BCAST", "256m"))
+      // DISK_ONLY blocks are stored UNCOMPRESSED by default
+      // (spark.rdd.compress=false): the text-heavy survivors checkpoint
+      // alone is ~26 GB raw at 17M docs vs ~8 GB lz4 — on a box with one
+      // 79 GB disk shared by checkpoints and shuffle files, the CPU/IO
+      // trade goes firmly to compression
+      .config("spark.rdd.compress", "true")
     // the probe with the LARGEST shuffles honors the same scratch-dir
     // override as Bench/Profile/ScalingBench (SPARK_GRAFT_LOCAL_DIR)
     val spark = graft.Bench.localDir
