@@ -44,6 +44,39 @@ final case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int, seed: 
   override def prettyName: String = "minhash_sig"
 }
 
+/** Fused per-document signature: struct(minhash array<long>, simhash long)
+  * from ONE tokenization pass ([[Hashing.docSigPair]]). The split
+  * MinHashSigExpr + SimHash64Expr pair each re-tokenized and re-hashed the
+  * full text; this halves the narrow work of the signatures stage. Values
+  * are bit-identical to the split expressions (HashingSpec pins it).
+  *
+  * Consumers must extract the fields from an ALIASED struct column in a
+  * separate projection (`withColumn("__sig", …)` then getField) — Spark's
+  * CollapseProject declines to merge a multi-referenced non-cheap alias, so
+  * the expression evaluates once per row (PlanQualitySpec asserts one
+  * doc_sigs call survives in the optimized plan). */
+final case class DocSigsExpr(child: Expression, k: Int, numPerms: Int, seed: Long,
+                             kernel: String)
+    extends UnaryExpression with CodegenFallback {
+  require(kernel == "perm" || kernel == "oph",
+    s"unknown minhash kernel '$kernel' (expected 'perm' or 'oph')")
+  private lazy val (pa, pb) = Hashing.permConstants(numPerms, seed)
+  private val oph = kernel == "oph"
+  override def dataType: DataType = StructType(Seq(
+    StructField("minhash", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("simhash", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val (mh, sim) = Hashing.docSigPair(
+      v.asInstanceOf[UTF8String].toString, k, numPerms, seed, oph, pa, pb)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (mh == null) null else new GenericArrayData(mh), sim))
+  }
+  override protected def withNewChildInternal(c: Expression): DocSigsExpr = copy(child = c)
+  override def prettyName: String = "doc_sigs"
+}
+
 final case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -314,6 +347,10 @@ object GraftFunctions {
         if (es.length > 4) es(4).asInstanceOf[Literal].value.toString
         else EngineConfig.default.minhashKernel), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_sigs",
+      es => DocSigsExpr(es.head, litInt(es(1)), litInt(es(2)), litLong(es(3)),
+        if (es.length > 4) es(4).asInstanceOf[Literal].value.toString
+        else EngineConfig.default.minhashKernel), "scala_udf")
     reg.createOrReplaceTempFunction("band_hashes",
       es => BandHashesExpr(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
@@ -342,6 +379,9 @@ object GraftFunctions {
     call_function("minhash_sig", text, lit(cfg.shingleK), lit(cfg.numPerms), lit(cfg.seed),
       lit(cfg.minhashKernel))
   def simhash64(text: Column): Column = call_function("simhash64", text)
+  def docSigs(text: Column, cfg: EngineConfig): Column =
+    call_function("doc_sigs", text, lit(cfg.shingleK), lit(cfg.numPerms), lit(cfg.seed),
+      lit(cfg.minhashKernel))
   def bandHashes(sig: Column, cfg: EngineConfig): Column =
     call_function("band_hashes", sig, lit(cfg.bands), lit(cfg.rowsPerBand))
   def shingleHashes(text: Column, k: Int): Column =

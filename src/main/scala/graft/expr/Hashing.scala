@@ -131,6 +131,33 @@ object Hashing {
     th
   }
 
+  /** Un-finalized FNV-1a hash per token in ONE scan over the text — the
+    * fused form of `tokenHashes(tokens(text))`, hashing characters as the
+    * scan passes them instead of materializing a String per token (the
+    * token substrings were pure allocation: every consumer of the combined
+    * signature path needs only the hashes). Token boundaries are exactly
+    * [[tokens]]' (`\s+` split), so th(i) here == tokenHashes(tokens(text))(i)
+    * value-for-value. */
+  private[expr] def tokenFnvHashes(text: String): Array[Long] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(text.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L
+        while (i < n && !isSpace(text.charAt(i))) {
+          h ^= text.charAt(i).toLong
+          h *= 0x100000001b3L
+          i += 1
+        }
+        out += h
+      }
+    }
+    out.result()
+  }
+
   /** Distinct k-token shingle hashes of a document, one pass, no shuffle
     * (SURVEY §2.10: signature is a narrow per-document transform).
     * Each token is char-hashed ONCE (not once per overlapping shingle);
@@ -142,18 +169,36 @@ object Hashing {
   }
 
   private def shingleHashesOf(th: Array[Long], k: Int): Array[Long] = {
-    val seen = new java.util.HashSet[java.lang.Long](th.length * 2)
-    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    // primitive open-addressing dedup set (first-occurrence order kept, as
+    // the HashSet form before it): the boxed java.util.HashSet[Long]
+    // allocated a Long + node per shingle in the hottest narrow kernel of
+    // the pipeline — pure GC pressure for a fixed-size probe table's job
+    val nSh = th.length - k + 1
+    var cap = 16
+    while (cap < nSh * 2) cap <<= 1
+    val used = new Array[Boolean](cap)
+    val vals = new Array[Long](cap)
+    val mask = cap - 1
+    val out = new Array[Long](nSh)
+    var m = 0
     var i = 0
     while (i <= th.length - k) {
       var h = 0xcbf29ce484222325L
       var j = 0
       while (j < k) { h = (h ^ th(i + j)) * 0x100000001b3L; j += 1 }
       val hv = mix64(h)
-      if (seen.add(hv)) out += hv
+      var s = (hv & mask).toInt
+      var fresh = true
+      var probing = true
+      while (probing) {
+        if (!used(s)) { used(s) = true; vals(s) = hv; probing = false }
+        else if (vals(s) == hv) { fresh = false; probing = false }
+        else s = (s + 1) & mask
+      }
+      if (fresh) { out(m) = hv; m += 1 }
       i += 1
     }
-    out.result()
+    if (m == nSh) out else java.util.Arrays.copyOf(out, m)
   }
 
   /** 128-perm (config) MinHash signature over the shingle-hash set.
@@ -201,10 +246,16 @@ object Hashing {
     if (shingles.isEmpty) return null
     val sig = Array.fill(numPerms)(Long.MaxValue)
     val sm = mix64(seed)
+    // numPerms is a power of two at every shipped config (128 = 16×8 etc.):
+    // h & (numPerms-1) IS remainderUnsigned(h, numPerms) then — same low
+    // bits — without the 64-bit division the JIT cannot elide, which sat in
+    // the per-shingle hot loop. Non-power-of-two stays on the division.
+    val pow2Mask = if ((numPerms & (numPerms - 1)) == 0) numPerms - 1 else 0
     var s = 0
     while (s < shingles.length) {
       val h = mix64(shingles(s) ^ sm)
-      val b = java.lang.Long.remainderUnsigned(h, numPerms).toInt
+      val b = if (pow2Mask != 0) (h & pow2Mask).toInt
+        else java.lang.Long.remainderUnsigned(h, numPerms).toInt
       if (h < sig(b)) sig(b) = h
       s += 1
     }
@@ -274,14 +325,57 @@ object Hashing {
     inter.toDouble / (l.length + r.length - inter)
   }
 
-  /** 64-bit SimHash over token-unigram hashes (frequency-weighted). */
-  def simhash(text: String): Long = {
-    val toks = tokens(text)
-    if (toks.isEmpty) return 0L
+  /** 64-bit SimHash over token-unigram hashes (frequency-weighted).
+    * Computed from the fused one-scan token hashes; identical output to the
+    * reference formulation ([[simhashReference]], spec-pinned equal). */
+  def simhash(text: String): Long = simhashFromFnv(tokenFnvHashes(text))
+
+  /** Nibble → 4 one-bit votes spread into 16-bit lanes of a long:
+    * lane g of NibbleLanes(v) = bit g of v. Summing these per token packs
+    * 4 bit-counters per long (16 longs cover 64 bits) — 16 adds per token
+    * instead of the 64-iteration vote loop. Lanes cannot carry into each
+    * other while the token count stays ≤ 0xFFFF (each lane ≤ n). */
+  private val NibbleLanes: Array[Long] = Array.tabulate(16) { v =>
+    ((v & 1).toLong) | ((v >> 1 & 1).toLong << 16) |
+      ((v >> 2 & 1).toLong << 32) | ((v >> 3 & 1).toLong << 48)
+  }
+
+  /** SimHash votes over un-finalized FNV token hashes (mix64 applied here,
+    * so inputs match hash64(token)). Bit b of the result is set iff more
+    * tokens have bit b set than clear (count(set) > n/2 ⟺ the reference's
+    * acc(b) = 2·count − n > 0 — exact same tie behavior). */
+  private[expr] def simhashFromFnv(th: Array[Long]): Long = {
+    val n = th.length
+    if (n == 0) return 0L
+    if (n > 0xFFFF) return simhashVoteLoop(th) // lane-overflow guard
+    val lanes = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val h = mix64(th(i))
+      var g = 0
+      while (g < 16) {
+        lanes(g) += NibbleLanes(((h >>> (g << 2)) & 15L).toInt)
+        g += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      val lane = (lanes(bit >> 2) >>> ((bit & 3) << 4)) & 0xFFFFL
+      if (lane * 2 > n) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Reference per-bit vote loop — the pre-optimization formulation, kept
+    * as the > 65535-token fallback and the equality oracle for the spec. */
+  private[expr] def simhashVoteLoop(th: Array[Long]): Long = {
     val acc = new Array[Int](64)
     var i = 0
-    while (i < toks.length) {
-      val h = hash64(toks(i))
+    while (i < th.length) {
+      val h = mix64(th(i))
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
@@ -293,6 +387,34 @@ object Hashing {
     var bit = 0
     while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
     out
+  }
+
+  /** Reference simhash (tokenize → hash64 per token → vote loop) — the
+    * shipped formulation before round 6; spec-pinned equal to [[simhash]]. */
+  private[expr] def simhashReference(text: String): Long = {
+    val toks = tokens(text)
+    if (toks.isEmpty) return 0L
+    simhashVoteLoop(tokenHashes(toks))
+  }
+
+  /** Fused per-document signature kernel: ONE text scan yields the token
+    * FNV hashes, from which both the MinHash signature (shingle combine →
+    * OPH/perm kernel) and the SimHash (mix64 per token → packed votes)
+    * derive. The split expressions each re-tokenized (and re-FNV-hashed)
+    * the full text — two scans plus ~2n String allocations per document in
+    * the single most expensive narrow stage of the pipeline. Output is
+    * bit-identical to (minhash via [[shingleHashes]], [[simhashReference]])
+    * — pinned by HashingSpec. */
+  def docSigPair(text: String, k: Int, numPerms: Int, seed: Long, oph: Boolean,
+                 pa: Array[Long], pb: Array[Long]): (Array[Long], Long) = {
+    val th = tokenFnvHashes(text)
+    val sim = simhashFromFnv(th)
+    if (th.length < k) return (null, sim)
+    val sh = shingleHashesOf(th, k)
+    val mh = if (sh.isEmpty) null
+      else if (oph) minhashOph(sh, numPerms, seed)
+      else minhash(sh, pa, pb)
+    (mh, sim)
   }
 
   @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

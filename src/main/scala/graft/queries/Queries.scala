@@ -624,9 +624,16 @@ object Queries {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hotGrams = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > TrigramDfCap).select("g")
-    // also cached: the anti-join output feeds BOTH sides of the self-join
+    // also cached: the anti-join output feeds BOTH sides of the self-join.
+    // Cached PRE-PARTITIONED on the join key: the broadcast anti-join
+    // preserves the distinct()'s (doc_id, g) partitioning, so without the
+    // explicit repartition the self-join exchanges the cache by g TWICE
+    // (once per side); partitioning the cache by g once makes both join
+    // reads exchange-free (InMemoryRelation reports the cached plan's
+    // hash partitioning) — guide §2.4 "two operations keyed the same way
+    // share one exchange".
     val kept = graft.stages.IntermediateCaches.persistTracked(
-      grams.join(hotGrams, Seq("g"), "left_anti"))
+      grams.join(hotGrams, Seq("g"), "left_anti").repartition(col("g")))
     val l = kept.select(col("doc_id").as("doc_id_l"), col("g"))
     val r = kept.select(col("doc_id").as("doc_id_r"), col("g"))
     l.join(r, Seq("g")).filter(col("doc_id_l") < col("doc_id_r"))

@@ -20,6 +20,29 @@ import org.apache.spark.storage.StorageLevel
   * to release the engine's internal blocks. Clearing earlier is safe but
   * forces recomputation if the lazy result is re-evaluated.
   */
+/** Session-conf scoping helpers for the engine's internal driver actions. */
+private[graft] object ExecHints {
+  /** Run `body` (a limit-collect style action) with
+    * `spark.sql.limit.initialNumPartitions` raised so `executeTake` scans
+    * every partition in ONE job wave. The default (1, scaling 4× per wave)
+    * makes an unsatisfied limit pay ⌈log₄(parts)⌉ + 1 serial job
+    * submissions — pure driver round-trip latency for the engine's
+    * bounded collects, whose limits are sized to NOT be hit in the common
+    * case (they are overflow guards, not top-k queries). The previous
+    * value is restored afterward — the session default must not leak into
+    * caller queries. */
+  def singleWaveTake[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.limit.initialNumPartitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, Int.MaxValue.toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
 private[graft] object IntermediateCaches {
   // The tracked DataFrames must be held STRONGLY until clear(): the
   // intermediate Dataset wrappers are referenced only by this registry

@@ -121,7 +121,16 @@ object ConnectedComponents {
       // graph that the old 2M bound routed to the distributed loop would
       // instead OOM an unconfigured driver.
       val bound = effectiveFastPathBound(fastPathMaxEdges)
-      val arr = e.limit(bound + 1).as[(Long, Long)].collect()
+      // ONE job wave for the limit-collect (ExecHints.singleWaveTake):
+      // executeTake's default incremental scan-up paid up to
+      // ⌈log₄(parts)⌉ + 1 SERIAL job submissions in the common small-graph
+      // case (limit never satisfied). Scanning everything in wave 1 is
+      // never wasted here: a small graph needs every partition anyway,
+      // and a big graph falls through to the count() below, which needs
+      // full materialization regardless (the cache keeps wave-1 work).
+      val arr = ExecHints.singleWaveTake(spark) {
+        e.limit(bound + 1).as[(Long, Long)].collect()
+      }
       if (arr.length <= bound) {
         e.unpersist()
         // edges + the limit they were collected under, recorded as a pair:

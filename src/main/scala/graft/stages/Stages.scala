@@ -69,11 +69,17 @@ object ExactDedup {
     // __hn marker column, so null-text duplicates group together, join
     // with plain equality (no null-rejecting key), and stay distinct from
     // empty-string text — exactly the window plan's partition semantics.
-    val keyed = docs.select(
+    // cached (engine-tracked, 25 B/row): keyed feeds BOTH the group
+    // aggregate and the holdout join below — uncached, each reference
+    // re-ran the two full-text xxhash64 passes over the corpus (the
+    // dominant narrow cost of this stage). At 10^12 docs the cache is
+    // narrow-row MEMORY_AND_DISK spill; the alternative is re-hashing the
+    // full corpus text per reference (guide §2.4: share one computation).
+    val keyed = IntermediateCaches.persistTracked(docs.select(
       col(idCol),
       xxhash64(coalesce(col(textCol), lit(""))).as("__h1"),
       xxhash64(lit(0x9e3779b9L), coalesce(col(textCol), lit(""))).as("__h2"),
-      isnull(col(textCol)).as("__hn"))
+      isnull(col(textCol)).as("__hn")))
     val grp = keyed.groupBy("__h1", "__h2", "__hn")
       .agg(min(col(idCol)).as("master_id"), count(lit(1)).as("__n"))
     val holdouts0 = keyed
@@ -119,8 +125,16 @@ object ExactDedup {
 object Signatures {
   def withSignatures(docs: DataFrame, cfg: EngineConfig, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("minhash", GraftFunctions.minhashSig(col(textCol), cfg))
-      .withColumn("simhash", GraftFunctions.simhash64(col(textCol)))
+      // fused kernel: ONE tokenization yields both signatures (the split
+      // minhash_sig + simhash64 expressions each re-scanned and re-hashed
+      // the full text — measured as the pipeline's most expensive narrow
+      // stage). The struct is aliased in its own projection and the fields
+      // extracted in a SECOND projection: CollapseProject declines to merge
+      // a multi-referenced non-cheap alias, so doc_sigs evaluates once per
+      // row (PlanQualitySpec pins one doc_sigs call in the optimized plan).
+      .withColumn("__sig", GraftFunctions.docSigs(col(textCol), cfg))
+      .withColumn("minhash", col("__sig").getField("minhash"))
+      .withColumn("simhash", col("__sig").getField("simhash"))
       // real shingle count (Model.DocSig contract), not a constant: the
       // extra shingle pass is column-pruned away in the pipeline hot path
       // (which selects only id/minhash/simhash) and only paid by consumers
@@ -128,6 +142,7 @@ object Signatures {
       .withColumn("n_shingles",
         when(col("minhash").isNull, lit(0))
           .otherwise(size(GraftFunctions.shingleHashes(col(textCol), cfg.shingleK))))
+      .drop("__sig")
 }
 
 /** Skew-aware candidate-pair generation from (key, id) bucket rows.
@@ -181,6 +196,29 @@ object PairGen {
     // plans must produce the same edge set for the same input (determinism
     // guarantee), including when dropHotAbove < allPairsCap.
     val bigThreshold = math.min(allPairsCap, dropHotAbove.getOrElse(Int.MaxValue - 1))
+    // dropHotAbove ≤ allPairsCap (the substring pass's default shape:
+    // substringDfCap 50 < allPairsCap 64): every key above bigThreshold is
+    // DROPPED and the chain band is empty by construction — so the big-key
+    // collect exists only to feed an empty chain branch and a fallback
+    // decision that cannot matter (nothing is collected to the driver at
+    // all on this path). Short-circuit to the pure small-pairs plan:
+    // no driver action at plan-construction time, no cache of the grouped
+    // table (it has exactly one consumer now), and no second full scan of
+    // the bucket table through the empty chain's semi-join — measured as a
+    // large slice of the substring stage, the pipeline's dominant cost.
+    // Output is identical (StagesSpec pins main-vs-windowed parity for
+    // dropHotAbove < allPairsCap).
+    if (dropHotAbove.exists(_ <= allPairsCap)) {
+      return buckets0.groupBy("key")
+        .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids"))
+        .filter(size(col("ids")).between(2, bigThreshold))
+        .select(col("key"), explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
+        .filter(col("id_l") =!= col("id_r"))
+    }
     // ONE hash-agg shuffle over the bucket table (the widest intermediate
     // in the pipeline): per-key member lists capped at bigThreshold + 1
     // longs. Small keys come out complete and sorted (the all-pairs
@@ -201,10 +239,15 @@ object PairGen {
     // Bounded collect: big keys each hold > bigThreshold members, so there
     // are at most rows/bigThreshold of them; if even that exceeds the
     // broadcast limit, fall back to the window plan.
-    val bigArr = grouped.filter(size(col("ids")) > bigThreshold)
-      .select("key")
-      .limit(BroadcastKeyLimit.toInt + 1)
-      .as[Long].collect()
+    // single job wave (ExecHints): the limit is an overflow guard sized to
+    // not be hit, so the default incremental executeTake only added serial
+    // wave latency while materializing the same grouped cache
+    val bigArr = ExecHints.singleWaveTake(spark) {
+      grouped.filter(size(col("ids")) > bigThreshold)
+        .select("key")
+        .limit(BroadcastKeyLimit.toInt + 1)
+        .as[Long].collect()
+    }
     ScaleStats.recordMax(ScaleStats.maxBigKeysCollected, bigArr.length.toLong)
     if (bigArr.length > BroadcastKeyLimit) {
       ScaleStats.windowedFallbacks.incrementAndGet()
@@ -496,16 +539,27 @@ object Scoring {
     * O(corpus). Level-2 pairs whose exact Jaccard misses the threshold are
     * demoted (to 1 if SimHash still matches, else 0) — engine edges then
     * agree exactly with the all-pairs oracle definition. */
-  def exactVerify(scored: DataFrame, docs: DataFrame, cfg: EngineConfig,
+  def exactVerify(scored0: DataFrame, docs: DataFrame, cfg: EngineConfig,
                   idCol: String = "id", textCol: String = "text"): DataFrame = {
+    // cached (engine-tracked, narrow ~60 B/row): the scored input is
+    // referenced THREE times below (cand → ids, cand → the exact join,
+    // and the below-threshold union) — uncached, the two-sided signature
+    // join behind it re-executed per reference (exchange reuse does not
+    // collapse the composed copies; same rationale as runLite's candidate
+    // persist). The cache is bounded by candidate-pair volume.
+    val scored = IntermediateCaches.persistTracked(scored0)
     val cand = scored.filter(col("level") >= 1)
     // no explicit broadcast hints: the candidate id set is usually tiny
     // (AQE will broadcast it), but at high duplicate rates it can approach
     // corpus size — the plan must stay valid either way
     val ids = cand.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
-    val touched = docs.join(ids, Seq(idCol), "left_semi")
+    // cached (engine-tracked): touched feeds BOTH sides of the exact join —
+    // uncached, every candidate doc was re-shingled twice (shingleHashes is
+    // the expensive narrow kernel here). Bounded by candidate-doc volume ×
+    // shingle arrays — the same data the join shuffles anyway.
+    val touched = IntermediateCaches.persistTracked(docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol),
-        GraftFunctions.shingleHashes(col(textCol), cfg.shingleK).as("__sh"))
+        GraftFunctions.shingleHashes(col(textCol), cfg.shingleK).as("__sh")))
     val withExact = cand
       .join(touched.select(col(idCol).as("id_l"), col("__sh").as("__sh_l")), "id_l")
       .join(touched.select(col(idCol).as("id_r"), col("__sh").as("__sh_r")), "id_r")

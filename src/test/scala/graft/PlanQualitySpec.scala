@@ -37,6 +37,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"signatures must not shuffle:\n$p")
   }
 
+  test("fused doc_sigs evaluates ONCE in the signatures projection") {
+    // the fused kernel is only a win if CollapseProject leaves the aliased
+    // struct in its own projection — a merged plan would copy the
+    // expression per extracted field and tokenize the text twice again.
+    // (A LocalRelation input would be constant-folded away entirely, so
+    // read from parquet like the real pipeline does.)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val df = stages.Signatures.withSignatures(docs, model.EngineConfig.default)
+      .select("id", "minhash", "simhash")
+    val o = df.queryExecution.optimizedPlan.toString
+    val n = "doc_sigs".r.findAllIn(o).length
+    assert(n == 1, s"expected exactly one doc_sigs call in the optimized plan, got $n:\n$o")
+  }
+
   test("whole-stage codegen covers the scalar metric expressions") {
     // parquet-backed input so Catalyst cannot constant-fold the whole query
     val df = spark.read.parquet(s"$dir/customer.parquet")

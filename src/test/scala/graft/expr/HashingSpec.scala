@@ -142,4 +142,55 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.exactJaccard(Array(1L, 2L), Array(3L, 4L)) == 0.0)
     assert(Hashing.exactJaccard(Array(1L, 2L, 3L), Array(2L, 3L, 4L)) == 0.5)
   }
+
+  // ---- round-6 fused/packed kernel equalities (outputs must be identical
+  // to the pre-optimization formulations bit for bit) ----
+
+  private def randomTexts: Seq[String] = {
+    val rnd = new java.util.SplittableRandom(97)
+    val gen = (n: Int) => Seq.fill(n)("w" + rnd.nextInt(500)).mkString(" ")
+    Seq("", "a", "a b", "  a   b\t c \n", "x y x y x y", gen(1), gen(2), gen(3),
+      gen(50), gen(200), gen(499), "é 中文 tøkens mixed 123",
+      " leading and trailing  ") ++ Seq.fill(20)(gen(1 + rnd.nextInt(300)))
+  }
+
+  test("packed-vote simhash equals the reference vote loop on every text class") {
+    for (t <- randomTexts)
+      assert(Hashing.simhash(t) == Hashing.simhashReference(t), s"text=<$t>")
+  }
+
+  test("packed-vote simhash equals the vote loop at the exact tie boundary") {
+    // even token count with a 50/50 bit split exercises 2*lane > n vs acc > 0
+    val th = Array(0L, -1L, 0L, -1L) // after mix64 these spread, but the
+    assert(Hashing.simhashFromFnv(th) == Hashing.simhashVoteLoop(th))
+    val rnd = new java.util.SplittableRandom(13)
+    for (n <- Seq(2, 4, 16, 256)) {
+      val a = Array.fill(n)(rnd.nextLong())
+      assert(Hashing.simhashFromFnv(a) == Hashing.simhashVoteLoop(a), s"n=$n")
+    }
+  }
+
+  test("docSigPair equals the split minhash/simhash expressions' kernels") {
+    for (t <- randomTexts; kernel <- Seq("oph", "perm")) {
+      val oph = kernel == "oph"
+      val (mh, sim) = Hashing.docSigPair(t, cfg.shingleK, cfg.numPerms, cfg.seed, oph, pa, pb)
+      val sh = Hashing.shingleHashes(t, cfg.shingleK)
+      val expectMh = if (oph) Hashing.minhashOph(sh, cfg.numPerms, cfg.seed)
+        else Hashing.minhash(sh, pa, pb)
+      assert(sim == Hashing.simhashReference(t), s"simhash mismatch on <$t>")
+      if (expectMh == null) assert(mh == null, s"minhash null mismatch on <$t>")
+      else assert(mh.sameElements(expectMh), s"minhash mismatch on <$t> kernel=$kernel")
+    }
+  }
+
+  test("minhashOph power-of-two bucket mask equals unsigned remainder routing") {
+    val rnd = new java.util.SplittableRandom(31)
+    for (_ <- 0 until 10000) {
+      val h = rnd.nextLong()
+      assert((h & 127L).toInt == java.lang.Long.remainderUnsigned(h, 128).toInt)
+    }
+    // and a non-power-of-two config still signs deterministically
+    val sh = Array.fill(64)(rnd.nextLong())
+    assert(Hashing.minhashOph(sh, 96, 42L).sameElements(Hashing.minhashOph(sh, 96, 42L)))
+  }
 }
