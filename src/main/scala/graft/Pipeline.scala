@@ -244,7 +244,11 @@ object Pipeline {
       .unionByName(tag(holdouts, "exact_holdouts", nullKey))
       .unionByName(tag(candidates, "candidate_pairs", nullKey))
       .unionByName(tag(allEdges, "edges", nullKey))
-      .unionByName(tag(assignments, "clusters", col("cluster_id")))
+      // null cluster ids are excluded from the distinct count (the
+      // replaced countDistinct semantics) rather than relying on
+      // ExactDedup.reattach's coalesce-to-non-null invariant holding
+      .unionByName(tag(assignments.filter(col("cluster_id").isNotNull),
+        "clusters", col("cluster_id")))
       .groupBy("metric", "__key").agg(count(lit(1)).as("__c"))
       .groupBy("metric").agg(sum("__c").as("__total"), count(lit(1)).as("__groups"))
       .select(col("metric"),

@@ -462,24 +462,45 @@ object Hashing {
     }
     if (n <= w) return Array(gram.min)
     // O(n) sliding-window minimum via monotonic index deque; ties keep the
-    // rightmost minimum (robust winnowing convention)
-    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    // rightmost minimum (robust winnowing convention). Dedup of selected
+    // fingerprints keeps insertion order via a primitive open-addressing
+    // probe set (the boxed LinkedHashSet[java.lang.Long] it replaces
+    // allocated a Long + node per window in the second-hottest narrow
+    // kernel); consecutive windows usually re-select the same minimum, so
+    // a last-value fast check skips the probe for the common case.
     val deque = new Array[Int](n)
     var head = 0
     var tail = 0 // deque[head until tail) holds increasing gram values
+    var cap = 16
+    while (cap < n * 2) cap <<= 1
+    val used = new Array[Boolean](cap)
+    val vals = new Array[Long](cap)
+    val mask = cap - 1
+    val out = new Array[Long](n - w + 1)
+    var m = 0
+    var last = 0L
+    var haveLast = false
     var q = 0
     while (q < n) {
       while (tail > head && gram(deque(tail - 1)) >= gram(q)) tail -= 1
       deque(tail) = q; tail += 1
       if (deque(head) <= q - w) head += 1
-      if (q >= w - 1) sel.add(gram(deque(head)))
+      if (q >= w - 1) {
+        val v = gram(deque(head))
+        if (!haveLast || v != last) {
+          var s = (v & mask).toInt
+          var probing = true
+          while (probing) {
+            if (!used(s)) { used(s) = true; vals(s) = v; out(m) = v; m += 1; probing = false }
+            else if (vals(s) == v) probing = false
+            else s = (s + 1) & mask
+          }
+          last = v; haveLast = true
+        }
+      }
       q += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
-    var p = 0
-    while (it.hasNext) { out(p) = it.next(); p += 1 }
-    out
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
   /** Build the whole signature bundle in one pass per document. */

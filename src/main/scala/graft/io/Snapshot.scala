@@ -183,12 +183,20 @@ final class SnapshotStore(val root: String,
     require(keepLast >= 1, "keepLast must be >= 1 (the current snapshot is never expired)")
     // dirs named <stage>-<id>; stage names may themselves contain '-', so
     // split on the LAST dash. Current manifest paths are always retained.
+    // qualify BOTH sides of the retain check: a pre-port manifest stores a
+    // plain local path while listStatus returns scheme-qualified paths
+    // (file:/...), and a raw string compare would fail to protect such a
+    // manifest's current data dir — expireSnapshots(keepLast=1) after a
+    // crash could then delete the current snapshot's data and force a
+    // silent recompute on resume
     val currentPaths = listDir(manifestDir)
       .filter(_.getName.endsWith(".json"))
       .flatMap { p =>
         val s = readString(p)
         "\"path\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-      }.toSet
+      }
+      .map(p => fs.makeQualified(new HPath(p)).toString)
+      .toSet
     val byStage = fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath).flatMap { p =>
       val name = p.getName
       val cut = name.lastIndexOf('-')
@@ -198,7 +206,7 @@ final class SnapshotStore(val root: String,
     var deleted = 0
     byStage.values.foreach { dirs =>
       dirs.sortBy(-_._2).drop(keepLast).foreach { case (_, _, p) =>
-        if (!currentPaths.contains(p.toString)) {
+        if (!currentPaths.contains(fs.makeQualified(p).toString)) {
           fs.delete(p, true)
           deleted += 1
         }

@@ -33,7 +33,14 @@ object Invariants {
     *    is a bijection onto the input ids.
     *
     * Lazy plan (no action here); the five branches reuse the persisted
-    * doc⊲assignment join and assignment frame. */
+    * doc⊲assignment join and assignment frame.
+    *
+    * Cache contract: the two persists are ENGINE-TRACKED
+    * ([[IntermediateCaches]]) and live until
+    * `Pipeline.clearIntermediateCaches(spark)` — call it after consuming
+    * the returned counters. A monitoring caller invoking this periodically
+    * in a long session without clearing accumulates two cached frames per
+    * invocation. */
   def dedupInvariants(docs: DataFrame, assignments: DataFrame,
                       idCol: String = "id", textCol: String = "text"): DataFrame = {
     val assigns = IntermediateCaches.persistTracked(

@@ -108,8 +108,13 @@ object ExactDedup {
     * @param holdouts frame with (`idCol`, master_id)
     * @param idCol holdout id column name (q37/q39 pass "doc_id")
     * @return (id, cluster_id) covering survivors + holdouts */
-  def reattach(survivorAssign: DataFrame, holdouts: DataFrame,
+  def reattach(survivorAssign0: DataFrame, holdouts: DataFrame,
                idCol: String = "id"): DataFrame = {
+    // cached (engine-tracked, 16 B/row): the assignment frame is referenced
+    // twice (the union branch and the holdout join) — uncached, its
+    // docIds-join subtree executed once per reference in the caller's
+    // action (guide §2.4: share one computation across references)
+    val survivorAssign = IntermediateCaches.persistTracked(survivorAssign0)
     val ha = holdouts
       .join(survivorAssign.withColumnRenamed("id", "__sid"),
         holdouts("master_id") === col("__sid"), "left")

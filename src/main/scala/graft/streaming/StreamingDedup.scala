@@ -74,8 +74,14 @@ object StreamingDedup {
     import spark.implicits._
     val hamThr = cfg.hammingThreshold
     val buckets = docs
-      .withColumn("minhash", graft.expr.GraftFunctions.minhashSig(col("text"), cfg))
-      .withColumn("simhash", graft.expr.GraftFunctions.simhash64(col("text")))
+      // fused kernel (round 6): one tokenization yields both signatures —
+      // same two-projection extraction pattern as Signatures.withSignatures
+      // (CollapseProject keeps the multi-referenced struct in its own
+      // projection), bit-identical values to the split expressions
+      .withColumn("__sig", graft.expr.GraftFunctions.docSigs(col("text"), cfg))
+      .withColumn("minhash", col("__sig").getField("minhash"))
+      .withColumn("simhash", col("__sig").getField("simhash"))
+      .drop("__sig")
       .filter(col("minhash").isNotNull)
       .withWatermark("warc_ts", watermark)
       .select(

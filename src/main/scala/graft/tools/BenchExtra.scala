@@ -141,8 +141,35 @@ object BenchExtra {
         }.mkString("{", ",", "}")
         println(s"""{"mode":"stages","docs":$docs,"min_stage_secs":$json}""")
 
+      case "substring" =>
+        // attribution inside the substring stage: winnow-cache build vs the
+        // fingerprint PairGen shuffle vs the shared-count + ratio joins
+        import graft.expr.GraftFunctions
+        for (r <- 1 to reps) {
+          println(s"[benchextra] --- substring rep $r ---")
+          val projected = corpus.select("id", "text")
+          val (surv0, _) = ExactDedup.splitByHash(projected, persistHoldouts = true)
+          val survivors = IntermediateCaches.persistTracked(surv0)
+          sc.setJobDescription(s"benchextra r$r: winnow_cache")
+          val withFps = IntermediateCaches.persistTracked(survivors.select(
+            col("id"), GraftFunctions.winnowFps(col("text"),
+              cfg.winnowK, cfg.winnowWindow).as("__fps")))
+          val (_, wWin) = timed(noop(withFps))
+          println(f"[benchextra] winnow_cache: $wWin%.1f s")
+          val fps = withFps.select(col("id"), explode(col("__fps")).as("key"))
+            .withColumn("sort", col("id"))
+          sc.setJobDescription(s"benchextra r$r: fp_pairgen")
+          val (_, wPg) = timed(noop(
+            PairGen.pairs(fps, cfg.allPairsCap, dropHotAbove = Some(cfg.substringDfCap))))
+          println(f"[benchextra] fp_pairgen: $wPg%.1f s")
+          sc.setJobDescription(s"benchextra r$r: substring_edges_full")
+          val (_, wAll) = timed(noop(Substring.edges(survivors, cfg)))
+          println(f"[benchextra] substring_edges_full (warm winnow cache): $wAll%.1f s")
+          if (r < reps) clearAll()
+        }
+
       case other =>
-        System.err.println(s"unknown mode '$other' (e2e|stages)")
+        System.err.println(s"unknown mode '$other' (e2e|stages|substring)")
     }
     spark.stop()
   }
