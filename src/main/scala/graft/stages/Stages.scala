@@ -214,14 +214,71 @@ object PairGen {
     // Output is identical (StagesSpec pins main-vs-windowed parity for
     // dropHotAbove < allPairsCap).
     if (dropHotAbove.exists(_ <= allPairsCap)) {
-      return buckets0.groupBy("key")
-        .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids"))
-        .filter(size(col("ids")).between(2, bigThreshold))
-        .select(col("key"), explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
-            .stripMargin)).as("p"))
-        .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
+      // STREAMED small-pairs plan (not groupBy + collect_capped): hash
+      // repartition by key, sort within partitions, one pass emitting all
+      // i<j pairs per contiguous group of 2..bigThreshold members (groups
+      // above the threshold are df-cap-dropped). Equivalent output to the
+      // aggregate formulation — collect_capped sorts each bucket's ids and
+      // explodes i<j pairs; here the partition sort delivers the same
+      // ascending order — but the exchange carries RAW 16-byte rows and
+      // one reduce-side sort replaces ObjectHashAggregate's per-key array
+      // buffers serialized through both shuffle sides (its sort-based
+      // fallback re-sorts anyway at these key cardinalities: ~1 distinct
+      // key per 2 rows). Bounded memory: at most bigThreshold+1 buffered
+      // ids per group.
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val streamed = buckets0
+        .select(col("key").cast("long"), col("id").cast("long"))
+        .repartition(parts, col("key"))
+        .sortWithinPartitions("key", "id")
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val cap = bigThreshold
+          new Iterator[(Long, Long, Long)] {
+            // current group being read: up to cap+1 ids stored; n == cap+1
+            // marks "too big, drop" (further members are counted-not-stored)
+            private val cur = new Array[Long](cap + 1)
+            private var n = 0
+            private var curKey = 0L
+            private var haveGroup = false
+            // pending emission: a STABLE copy of the closed group's ids
+            // (advance() may begin filling `cur` with the next group while
+            // this group's pairs are still being emitted)
+            private var emitIds: Array[Long] = null
+            private var emitKey = 0L
+            private var ei = 0
+            private var ej = 1
+            private def emitting: Boolean = emitIds != null && ei < emitIds.length - 1
+            private def closeGroup(): Unit = {
+              if (n >= 2 && n <= cap) {
+                emitIds = java.util.Arrays.copyOf(cur, n)
+                emitKey = curKey
+                ei = 0; ej = 1
+              }
+              n = 0
+            }
+            private def advance(): Unit = {
+              while (!emitting && (it.hasNext || haveGroup)) {
+                if (!it.hasNext) { closeGroup(); haveGroup = false }
+                else {
+                  val (k, id) = it.next()
+                  if (haveGroup && k != curKey) closeGroup()
+                  curKey = k; haveGroup = true
+                  if (n <= cap) { cur(n) = id; n += 1 }
+                }
+              }
+            }
+            override def hasNext: Boolean = { if (!emitting) advance(); emitting }
+            override def next(): (Long, Long, Long) = {
+              if (!emitting) advance()
+              val out = (emitIds(ei), emitIds(ej), emitKey)
+              ej += 1
+              if (ej >= emitIds.length) { ei += 1; ej = ei + 1 }
+              out
+            }
+          }
+        }
+      return streamed.toDF("id_l", "id_r", "key")
         .filter(col("id_l") =!= col("id_r"))
     }
     // ONE hash-agg shuffle over the bucket table (the widest intermediate
