@@ -226,126 +226,55 @@ object PairGen {
       // fallback re-sorts anyway at these key cardinalities: ~1 distinct
       // key per 2 rows). Bounded memory: at most bigThreshold+1 buffered
       // ids per group.
-      val parts = spark.sessionState.conf.numShufflePartitions
-      val streamed = buckets0
-        .select(col("key").cast("long"), col("id").cast("long"))
-        .repartition(parts, col("key"))
-        .sortWithinPartitions("key", "id")
-        .as[(Long, Long)]
-        .mapPartitions { it =>
-          val cap = bigThreshold
-          new Iterator[(Long, Long, Long)] {
-            // current group being read: up to cap+1 ids stored; n == cap+1
-            // marks "too big, drop" (further members are counted-not-stored)
-            private val cur = new Array[Long](cap + 1)
-            private var n = 0
-            private var curKey = 0L
-            private var haveGroup = false
-            // pending emission: a STABLE copy of the closed group's ids
-            // (advance() may begin filling `cur` with the next group while
-            // this group's pairs are still being emitted)
-            private var emitIds: Array[Long] = null
-            private var emitKey = 0L
-            private var ei = 0
-            private var ej = 1
-            private def emitting: Boolean = emitIds != null && ei < emitIds.length - 1
-            private def closeGroup(): Unit = {
-              if (n >= 2 && n <= cap) {
-                emitIds = java.util.Arrays.copyOf(cur, n)
-                emitKey = curKey
-                ei = 0; ej = 1
-              }
-              n = 0
-            }
-            private def advance(): Unit = {
-              while (!emitting && (it.hasNext || haveGroup)) {
-                if (!it.hasNext) { closeGroup(); haveGroup = false }
-                else {
-                  val (k, id) = it.next()
-                  if (haveGroup && k != curKey) closeGroup()
-                  curKey = k; haveGroup = true
-                  if (n <= cap) { cur(n) = id; n += 1 }
-                }
-              }
-            }
-            override def hasNext: Boolean = { if (!emitting) advance(); emitting }
-            override def next(): (Long, Long, Long) = {
-              if (!emitting) advance()
-              val out = (emitIds(ei), emitIds(ej), emitKey)
-              ej += 1
-              if (ej >= emitIds.length) { ei += 1; ej = ei + 1 }
-              out
-            }
-          }
-        }
-      return streamed.toDF("id_l", "id_r", "key")
+      return streamedTagged(buckets0, bigThreshold, emitMarkers = false)
+        .select(col("a").as("id_l"), col("b").as("id_r"), col("key"))
         .filter(col("id_l") =!= col("id_r"))
     }
-    // ONE hash-agg shuffle over the bucket table (the widest intermediate
-    // in the pipeline): per-key member lists capped at bigThreshold + 1
-    // longs. Small keys come out complete and sorted (the all-pairs
-    // input); a key at the cap IS the big-key flag — no separate count
-    // pass. Buffers are bounded, so a 10^7-member boilerplate bucket costs
-    // cap longs of memory, not an OOM. Cached: materialized once by the
-    // big-key collect below, then the small-pairs branch reads blocks.
-    // Physical note: ObjectHashAggregate falls back to SORT-based
-    // aggregation past spark.sql.objectHashAggregate.sortBased
-    // .fallbackThreshold (default 128) in-memory groups — i.e. at real
-    // cardinalities this runs as exchange + external sort-merge, which is
-    // the memory-safe plan for million-key buckets. Measured (tools/
-    // SubstringProbe, interleaved in one JVM, 41M bucket rows): the sort
-    // fallback is as fast as a forced 20M-entry hash map and needs no
-    // per-session tuning, so the default is left alone.
-    val grouped = IntermediateCaches.persistTracked(buckets0.groupBy("key")
-      .agg(GraftFunctions.collectCapped(col("id"), bigThreshold + 1).as("ids")))
+    // ONE raw-row shuffle over the bucket table (the widest intermediate in
+    // the pipeline), then a streamed per-partition pass ([[streamedTagged]])
+    // emitting every small bucket's i<j pairs PLUS one exact-count marker
+    // per big bucket. This replaced the groupBy + collect_capped plan:
+    // ObjectHashAggregate's sort-based fallback serialized a per-key array
+    // buffer through both shuffle sides at ~1 distinct key per 2 rows
+    // (partial aggregation pure overhead) — measured 2.4× slower than the
+    // streamed form at 80M bucket rows (OPTIMIZATION_r06.md change 9/10).
+    // Memory stays bounded: at most bigThreshold+1 buffered longs per
+    // group, exactly collect_capped's bound. The exact counts on markers
+    // also make the chain band (allPairsCap, dropHotAbove] decidable with
+    // NO separate semi-joined count job. Cached: materialized once by the
+    // big-key collect below; the small-pairs branch then reads blocks
+    // (pair rows + markers — far smaller than the old per-key array cache).
+    val tagged = IntermediateCaches.persistTracked(
+      streamedTagged(buckets0, bigThreshold, emitMarkers = true))
     // Bounded collect: big keys each hold > bigThreshold members, so there
     // are at most rows/bigThreshold of them; if even that exceeds the
-    // broadcast limit, fall back to the window plan.
-    // single job wave (ExecHints): the limit is an overflow guard sized to
-    // not be hit, so the default incremental executeTake only added serial
-    // wave latency while materializing the same grouped cache
-    val bigArr = ExecHints.singleWaveTake(spark) {
-      grouped.filter(size(col("ids")) > bigThreshold)
-        .select("key")
+    // broadcast limit, fall back to the window plan. Single job wave
+    // (ExecHints): the limit is an overflow guard sized to not be hit.
+    val bigRows = ExecHints.singleWaveTake(spark) {
+      tagged.filter(col("kind") === 1)
+        .select(col("key"), col("a"))
         .limit(BroadcastKeyLimit.toInt + 1)
-        .as[Long].collect()
+        .as[(Long, Long)].collect()
     }
-    ScaleStats.recordMax(ScaleStats.maxBigKeysCollected, bigArr.length.toLong)
-    if (bigArr.length > BroadcastKeyLimit) {
+    ScaleStats.recordMax(ScaleStats.maxBigKeysCollected, bigRows.length.toLong)
+    if (bigRows.length > BroadcastKeyLimit) {
       ScaleStats.windowedFallbacks.incrementAndGet()
-      grouped.unpersist()
+      tagged.unpersist()
       return pairsWindowed(buckets0, allPairsCap, dropHotAbove)
     }
-    // Chain band = keys with allPairsCap < cnt <= dropHotAbove. Empty by
-    // construction unless dropHotAbove > allPairsCap, in which case exact
-    // counts for just the big keys come from one tiny semi-joined count
-    // (big-key rows only — a sliver of the table).
+    // Chain band = keys with allPairsCap < cnt <= dropHotAbove (empty by
+    // construction unless dropHotAbove > allPairsCap — that shape returned
+    // early above). Marker counts are exact, so the band is a driver-side
+    // filter — the old plan ran a semi-joined count job over the bucket
+    // table for it.
     val hotArr: Array[Long] = dropHotAbove match {
-      case Some(cap) if cap <= allPairsCap => Array.empty
-      case Some(cap) =>
-        if (bigArr.isEmpty) Array.empty
-        else {
-          val bigDf = spark.createDataset(bigArr.toSeq).toDF("key")
-          buckets0.join(broadcast(bigDf), Seq("key"), "left_semi")
-            .groupBy("key").agg(count(lit(1)).as("__cnt"))
-            .filter(col("__cnt") <= cap)
-            .select("key").as[Long].collect()
-        }
-      case None => bigArr
+      case Some(cap) => bigRows.filter(_._2 <= cap).map(_._1)
+      case None => bigRows.map(_._1)
     }
     val hotKeys = spark.createDataset(hotArr.toSeq).toDF("key")
 
-    // all i<j pairs inside a ≤cap bucket, as pure SQL (no UDF): for each
-    // element, pair it with every later element. `ids` is complete and
-    // sorted for every key under the cap — no join needed to exclude big
-    // keys, the size filter is the partition.
-    val smallPairs = grouped
-      .filter(size(col("ids")).between(2, bigThreshold))
-      .select(col("key"), explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as l, y as r))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.l").as("id_l"), col("p.r").as("id_r"), col("key"))
+    val smallPairs = tagged.filter(col("kind") === 0)
+      .select(col("a").as("id_l"), col("b").as("id_r"), col("key"))
 
     // hot rows re-derive from the (narrow, upstream-cached) bucket source —
     // a broadcast semi-join sliver, not a second full-table shuffle
@@ -353,6 +282,87 @@ object PairGen {
       buckets0.join(broadcast(hotKeys), Seq("key"), "left_semi"))
 
     smallPairs.unionByName(chainPairs).filter(col("id_l") =!= col("id_r"))
+  }
+
+  /** Streamed bucket-pairing pass: hash-repartition the (key, id) bucket
+    * rows, sort within partitions, and in ONE forward pass emit
+    *
+    *  - kind 0 rows — all i<j pairs (a = id_l, b = id_r) of every
+    *    contiguous group with 2..cap members (ids ascending from the
+    *    partition sort, matching the sorted order the collect_capped
+    *    aggregate it replaced produced), and
+    *  - kind 1 rows (when `emitMarkers`) — one marker per group whose size
+    *    exceeds `cap`, carrying the group's EXACT member count in `a`.
+    *
+    * Bounded memory: at most cap+1 ids buffered per group (members beyond
+    * that are counted, not stored) — the same bound the capped aggregation
+    * buffer had, with no per-key array serialization through the shuffle. */
+  private def streamedTagged(buckets0: DataFrame, cap: Int,
+                             emitMarkers: Boolean): DataFrame = {
+    val spark = buckets0.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    buckets0
+      .select(col("key").cast("long"), col("id").cast("long"))
+      .repartition(parts, col("key"))
+      .sortWithinPartitions("key", "id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Int, Long, Long, Long)] {
+          // current group being read: up to cap+1 ids stored, full size in m
+          private val cur = new Array[Long](cap + 1)
+          private var n = 0
+          private var m = 0L
+          private var curKey = 0L
+          private var haveGroup = false
+          // pending emission: a STABLE copy of the closed group's ids
+          // (advance() may begin filling `cur` with the next group while
+          // this group's pairs are still being emitted); pending marker
+          // uses emitIds = null
+          private var emitIds: Array[Long] = null
+          private var emitKey = 0L
+          private var emitCount = 0L
+          private var marker = false
+          private var ei = 0
+          private var ej = 1
+          private def emitting: Boolean =
+            marker || (emitIds != null && ei < emitIds.length - 1)
+          private def closeGroup(): Unit = {
+            if (m >= 2 && m <= cap) {
+              emitIds = java.util.Arrays.copyOf(cur, n)
+              emitKey = curKey
+              ei = 0; ej = 1
+            } else if (m > cap && emitMarkers) {
+              marker = true; emitKey = curKey; emitCount = m
+            }
+            n = 0; m = 0L
+          }
+          private def advance(): Unit = {
+            while (!emitting && (it.hasNext || haveGroup)) {
+              if (!it.hasNext) { closeGroup(); haveGroup = false }
+              else {
+                val (k, id) = it.next()
+                if (haveGroup && k != curKey) closeGroup()
+                curKey = k; haveGroup = true
+                if (n <= cap) { cur(n) = id; n += 1 }
+                m += 1
+              }
+            }
+          }
+          override def hasNext: Boolean = { if (!emitting) advance(); emitting }
+          override def next(): (Int, Long, Long, Long) = {
+            if (!emitting) advance()
+            if (marker) { marker = false; (1, emitCount, 0L, emitKey) }
+            else {
+              val out = (0, emitIds(ei), emitIds(ej), emitKey)
+              ej += 1
+              if (ej >= emitIds.length) { ei += 1; ej = ei + 1 }
+              out
+            }
+          }
+        }
+      }
+      .toDF("kind", "a", "b", "key")
   }
 
   /** O(n) chain pairing of hot-bucket members WITHOUT a per-key window.
