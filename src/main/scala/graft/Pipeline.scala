@@ -112,8 +112,18 @@ object Pipeline {
       if (cfg.exactDedupByHash) ExactDedup.splitByHash(projected, persistHoldouts = true)
       else ExactDedup.split(projected, persistRanked = true)
     // survivors feed several downstream jobs (signatures, exact verify,
-    // substring) — cache the compact (id, text) form once
-    val survivors = IntermediateCaches.persistTracked(survivors0)
+    // substring). When the CALLER's doc table is uncached, cache the
+    // compact (id, text) form once; when the caller already persisted the
+    // input (the bench corpus, any warehouse-cached table), survivors
+    // re-derive per consumer as a scan of THAT cache plus a broadcast
+    // anti-join probe on the holdout ids — layering a second full-width
+    // cache of ~the same bytes bought nothing but the storage write
+    // (guide §5: cache only when recompute beats the memory pressure;
+    // same shape run() has always used over its persisted input).
+    val survivors =
+      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        IntermediateCaches.persistTracked(survivors0)
+      else survivors0
     // signatures feed bucket explosion AND both sides of the scoring join —
     // 128-perm MinHash is the most expensive narrow transform in the
     // pipeline, computed once, cached
