@@ -77,6 +77,24 @@ final case class DocSigsExpr(child: Expression, k: Int, numPerms: Int, seed: Lon
   override def prettyName: String = "doc_sigs"
 }
 
+/** Fused simhash + doc fingerprint (q23): struct(simhash, fingerprint)
+  * from one tokenization — same extraction pattern as [[DocSigsExpr]],
+  * bit-identical to the split expressions (HashingSpec). */
+final case class SimFpExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("simhash", LongType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val (sim, fp) = Hashing.simFingerprintPair(v.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sim, fp))
+  }
+  override protected def withNewChildInternal(c: Expression): SimFpExpr = copy(child = c)
+  override def prettyName: String = "sim_fp"
+}
+
 final case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -370,6 +388,7 @@ object GraftFunctions {
       es => CosineSimExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint",
       es => DocFingerprintExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_fp", es => SimFpExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("collect_capped",
       es => CollectCappedLong(es.head, litInt(es(1))), "scala_udf")
   }
@@ -396,6 +415,7 @@ object GraftFunctions {
     call_function("winnow_fps", text, lit(k), lit(w))
   def cosineSim(l: Column, r: Column): Column = call_function("cosine_sim", l, r)
   def docFingerprint(c: Column): Column = call_function("doc_fingerprint", c)
+  def simFp(c: Column): Column = call_function("sim_fp", c)
   def collectCapped(c: Column, cap: Int): Column =
     call_function("collect_capped", c, lit(cap))
 }

@@ -503,6 +503,20 @@ object Hashing {
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** Fused simhash + order-sensitive doc fingerprint from ONE token scan
+    * (q23's surface): values bit-identical to [[simhash]] and the
+    * doc_fingerprint fold over [[hash64(String)]] token hashes —
+    * hash64(tok) == mix64(FNV(tok)) == mix64(tokenFnvHashes(_)(i)).
+    * Spec-pinned (HashingSpec). */
+  def simFingerprintPair(text: String): (Long, Long) = {
+    val th = tokenFnvHashes(text)
+    val sim = simhashFromFnv(th)
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < th.length) { h = hash64(h, mix64(th(i))); i += 1 }
+    (sim, h)
+  }
+
   /** Build the whole signature bundle in one pass per document. */
   def docSignature(text: String, cfg: EngineConfig, a: Array[Long], b: Array[Long])
       : (Array[Long], Long, Int) = {

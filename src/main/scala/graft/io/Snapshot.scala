@@ -100,7 +100,16 @@ final class SnapshotStore(val root: String,
     * `partitionBy`: optional partition columns for the data files — at
     * scale a resumed stage that is later read with a partition-column
     * predicate prunes to the matching directories instead of re-scanning
-    * the whole snapshot. */
+    * the whole snapshot. Restriction: partition VALUES round-trip through
+    * Hive-style directory names, so an empty-string (or null) value in a
+    * partition column is written as __HIVE_DEFAULT_PARTITION__ and reads
+    * back as NULL — choose non-null, non-empty partition columns or the
+    * byte-identical-resume contract does not hold for that column.
+    *
+    * The manifest `rows` field (surfaced via currentRows) is observed on
+    * the write job: under stage retries / speculative duplicate task
+    * successes observed metrics can overcount — treat it as informational;
+    * the data files are the source of truth. */
   def commit(stage: String, df: DataFrame, configFingerprint: String,
              partitionBy: Seq[String] = Nil): DataFrame = {
     // names are embedded raw in file paths, JSON, and (for the

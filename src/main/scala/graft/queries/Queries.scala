@@ -262,13 +262,18 @@ object Queries {
         .orderBy("doc_id_l", "doc_id_r")
     }),
 
-    // SimHash fingerprints + doc fingerprint (engine-native; no SQL oracle)
+    // SimHash fingerprints + doc fingerprint (engine-native; no SQL oracle).
+    // Fused sim_fp kernel: one tokenization for both values (the split
+    // simhash64 + doc_fingerprint expressions each re-scanned the text);
+    // two-projection extraction so the struct evaluates once — values
+    // bit-identical (HashingSpec pins the kernel equality).
     "q23_fingerprints" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents")
+        .withColumn("__sf", GraftFunctions.simFp(col("text")))
         .select(col("doc_id"),
-          GraftFunctions.simhash64(col("text")).as("simhash"),
-          GraftFunctions.docFingerprint(col("text")).as("fingerprint"))
+          col("__sf").getField("simhash").as("simhash"),
+          col("__sf").getField("fingerprint").as("fingerprint"))
         .orderBy("doc_id")
     }),
 

@@ -183,6 +183,16 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("simFingerprintPair equals the split simhash64/doc_fingerprint kernels") {
+    for (t <- randomTexts) {
+      val (sim, fp) = Hashing.simFingerprintPair(t)
+      assert(sim == Hashing.simhashReference(t), s"simhash mismatch on <$t>")
+      var h = 0x9e3779b97f4a7c15L
+      Hashing.tokens(t).foreach(tok => h = Hashing.hash64(h, Hashing.hash64(tok)))
+      assert(fp == h, s"fingerprint mismatch on <$t>")
+    }
+  }
+
   test("minhashOph power-of-two bucket mask equals unsigned remainder routing") {
     val rnd = new java.util.SplittableRandom(31)
     for (_ <- 0 until 10000) {
