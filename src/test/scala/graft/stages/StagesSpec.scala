@@ -179,6 +179,28 @@ class StagesSpec extends SparkSpec {
       s"missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
   }
 
+  test("PairGen streamed pass: many adjacent groups per partition, mixed sizes") {
+    // exercises the emit-while-buffering-next-group path of streamedTagged:
+    // hundreds of groups land in each shuffle partition, sizes 1..6 plus a
+    // dropped big group, so group closes interleave densely with emission
+    val rnd = new java.util.SplittableRandom(5)
+    val rows = (1L to 400L).flatMap { k =>
+      val m = 1 + rnd.nextInt(6)
+      (1 to m).map(i => (k, k * 1000 + i, 0L))
+    } ++ (1L to 80L).map(i => (9999L, 100000L + i, 0L)) // big → dropped
+    val got = PairGen.pairs(rows.toDF("key", "id", "sort"), allPairsCap = 64,
+        dropHotAbove = Some(50))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).filter { case (_, ms) => ms.size >= 2 && ms.size <= 50 }
+      .flatMap { case (k, ms) =>
+        val ids = ms.map(_._2).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j), k)
+      }.toSet
+    assert(got == want,
+      s"missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)} (|got|=${got.size}, |want|=${want.size})")
+  }
+
   test("PairGen: windowed fallback produces the identical pair set") {
     val buckets = ((1L to 5L).map(i => (100L, i, i)) ++
       (1L to 80L).map(i => (300L, 1000L + i, i)) ++ Seq((200L, 9L, 9L)))
