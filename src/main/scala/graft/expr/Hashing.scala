@@ -434,6 +434,50 @@ object Hashing {
     out
   }
 
+  /** Per-thread reusable buffers for [[winnow]]: the kernel's working set
+    * (gram hashes, deque, probe table, output staging) was ~60 KB of fresh
+    * allocation PER DOC — tens of GB of short-lived garbage across a corpus
+    * pass, pure DRAM/GC traffic (guide §1.2 per-task work; the round's
+    * scaling A/B showed the box is bandwidth-bound). Tasks are
+    * single-threaded, so ThreadLocal reuse is safe; the probe table uses
+    * epoch stamps instead of clearing (an entry is live iff
+    * `stamp(s) == epoch`), so reuse costs nothing per doc. Buffers above
+    * [[WinnowScratch.RetainMax]] grams are dropped after use so one huge
+    * document cannot pin megabytes per executor thread forever. */
+  private final class WinnowScratch {
+    var gram: Array[Long] = Array.emptyLongArray
+    var deque: Array[Int] = Array.emptyIntArray
+    var stamp: Array[Int] = Array.emptyIntArray
+    var vals: Array[Long] = Array.emptyLongArray
+    var out: Array[Long] = Array.emptyLongArray
+    var epoch: Int = 0
+    /** Ensure gram/deque/out hold `n` and the probe table holds `cap`. */
+    def ensure(n: Int, cap: Int): Unit = {
+      if (gram.length < n) {
+        var c = math.max(16, gram.length * 2); while (c < n) c <<= 1
+        gram = new Array[Long](c); deque = new Array[Int](c); out = new Array[Long](c)
+      }
+      if (vals.length < cap) {
+        stamp = new Array[Int](cap); vals = new Array[Long](cap); epoch = 0
+      }
+      if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); epoch = 0 }
+      epoch += 1
+    }
+    def releaseIfHuge(): Unit =
+      if (gram.length > WinnowScratch.RetainMax) {
+        gram = Array.emptyLongArray; deque = Array.emptyIntArray
+        out = Array.emptyLongArray; stamp = Array.emptyIntArray
+        vals = Array.emptyLongArray; epoch = 0
+      }
+  }
+  private object WinnowScratch {
+    /** Max grams retained per thread (64 Ki grams ≈ 1.8 MB of buffers). */
+    val RetainMax: Int = 1 << 16
+    val tl: ThreadLocal[WinnowScratch] = new ThreadLocal[WinnowScratch] {
+      override def initialValue(): WinnowScratch = new WinnowScratch
+    }
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * k-char gram hashes, sliding window of `w`, keep the rightmost minimum
     * per window. Robust distributed substring-duplicate detection — the
@@ -441,7 +485,15 @@ object Hashing {
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     if (text == null || text.length < k) return Array.empty
     val n = text.length - k + 1
-    val gram = new Array[Long](n)
+    // probe-table capacity: next pow2 ≥ 2n (≤ 50% load). The set's OUTPUT
+    // (first-occurrence order, membership) is capacity-independent, so
+    // reusing a LARGER table from scratch is bit-identical.
+    var cap = 16
+    while (cap < n * 2) cap <<= 1
+    val s = WinnowScratch.tl.get()
+    s.ensure(n, cap)
+    cap = s.vals.length // reuse the (possibly larger) retained table
+    val gram = s.gram
     // Rabin–Karp rolling polynomial hash, mod 2^64: O(text) total instead
     // of O(text·k) — the gram hashing was the single hottest loop in the
     // pipeline (k=25 chars re-hashed per position). mix64 finalizes each
@@ -460,7 +512,14 @@ object Hashing {
       gram(i) = mix64(h)
       i += 1
     }
-    if (n <= w) return Array(gram.min)
+    if (n <= w) {
+      // min over the first n grams only (the scratch array may be longer)
+      var mn = gram(0)
+      var p = 1
+      while (p < n) { if (gram(p) < mn) mn = gram(p); p += 1 }
+      s.releaseIfHuge()
+      return Array(mn)
+    }
     // O(n) sliding-window minimum via monotonic index deque; ties keep the
     // rightmost minimum (robust winnowing convention). Dedup of selected
     // fingerprints keeps insertion order via a primitive open-addressing
@@ -468,15 +527,15 @@ object Hashing {
     // allocated a Long + node per window in the second-hottest narrow
     // kernel); consecutive windows usually re-select the same minimum, so
     // a last-value fast check skips the probe for the common case.
-    val deque = new Array[Int](n)
+    // An entry is live iff stamp == epoch (no per-doc table clearing).
+    val deque = s.deque
     var head = 0
     var tail = 0 // deque[head until tail) holds increasing gram values
-    var cap = 16
-    while (cap < n * 2) cap <<= 1
-    val used = new Array[Boolean](cap)
-    val vals = new Array[Long](cap)
+    val stamp = s.stamp
+    val vals = s.vals
+    val epoch = s.epoch
     val mask = cap - 1
-    val out = new Array[Long](n - w + 1)
+    val out = s.out
     var m = 0
     var last = 0L
     var haveLast = false
@@ -488,19 +547,23 @@ object Hashing {
       if (q >= w - 1) {
         val v = gram(deque(head))
         if (!haveLast || v != last) {
-          var s = (v & mask).toInt
+          var p = (v & mask).toInt
           var probing = true
           while (probing) {
-            if (!used(s)) { used(s) = true; vals(s) = v; out(m) = v; m += 1; probing = false }
-            else if (vals(s) == v) probing = false
-            else s = (s + 1) & mask
+            if (stamp(p) != epoch) {
+              stamp(p) = epoch; vals(p) = v; out(m) = v; m += 1; probing = false
+            }
+            else if (vals(p) == v) probing = false
+            else p = (p + 1) & mask
           }
           last = v; haveLast = true
         }
       }
       q += 1
     }
-    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+    val res = java.util.Arrays.copyOf(out, m)
+    s.releaseIfHuge()
+    res
   }
 
   /** Fused simhash + order-sensitive doc fingerprint from ONE token scan

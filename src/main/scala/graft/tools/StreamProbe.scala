@@ -61,17 +61,29 @@ object StreamProbe {
     var maxStateRows = 0L
     var maxStateBytes = 0L
     var evicted = 0L
+    // Eviction accounting sums over ALL progress events, deduped by
+    // batchId (ADVICE r5): sampling only lastProgress per drain dropped
+    // the earlier batches of a multi-micro-batch drain (e.g. an extra
+    // timeout-only batch) and re-added the previous drain's counts when a
+    // drain produced no new progress. recentProgress is scanned after
+    // EVERY drain, so the retention buffer (default 100) only has to hold
+    // one drain's batches — the scan is synchronous and exact, with no
+    // listener-bus delivery race.
+    val seenBatches = scala.collection.mutable.Set.empty[Long]
+    def accountProgress(): Unit =
+      for (p <- q.recentProgress; if seenBatches.add(p.batchId);
+           so <- p.stateOperators) {
+        maxStateRows = math.max(maxStateRows, so.numRowsTotal)
+        maxStateBytes = math.max(maxStateBytes, so.memoryUsedBytes)
+        evicted += so.numRowsRemoved
+      }
     val t0 = System.nanoTime()
     rows.grouped(perBatch).zipWithIndex.foreach { case (batch, b) =>
       val ts = new java.sql.Timestamp(baseMs + b * stepMs)
       input.addData(batch.map { case (id, text) => (id, ts, text) }.toSeq)
       q.processAllAvailable()
       fed += batch.length
-      for (p <- Option(q.lastProgress); so <- p.stateOperators) {
-        maxStateRows = math.max(maxStateRows, so.numRowsTotal)
-        maxStateBytes = math.max(maxStateBytes, so.memoryUsedBytes)
-        evicted += so.numRowsRemoved
-      }
+      accountProgress()
     }
     val wall = (System.nanoTime() - t0) / 1e9
     val hits = spark.table("stream_probe_hits").count()
